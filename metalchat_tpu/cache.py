@@ -1,0 +1,186 @@
+"""KV caches.
+
+TPU-native re-design of the reference's `sink_cache` (nn/cache.h:96-232):
+instead of mutating preallocated Metal buffers with clone/roll kernels, the
+cache is an immutable pytree threaded through the jitted step function and
+updated with `lax.dynamic_update_slice`; under `jax.jit` with buffer donation
+the update happens in place on device. Variants:
+
+  * `KVCache`        — dense [L, B, S_max, n_kv, head_dim] ring of keys/values.
+  * `QuantizedKVCache` — int8 payload + per-(token, head) float scales
+    (beyond the reference; halves HBM traffic at decode).
+  * sink/sliding eviction — index math (`sink_positions`) replacing the
+    reference's roll-kernel eviction (cache.h:186-204).
+
+The paged cache for continuous batching lives in `engine/paged.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from metalchat_tpu.config import ModelConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KVCache:
+    """Dense per-layer KV cache; leaves stacked over layers on axis 0."""
+
+    k: jax.Array  # [L, B, S_max, n_kv_heads, head_dim]
+    v: jax.Array
+
+    @classmethod
+    def create(
+        cls,
+        config: ModelConfig,
+        batch_size: int,
+        max_seq_len: Optional[int] = None,
+        dtype: jnp.dtype = jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (
+            config.num_layers,
+            batch_size,
+            max_seq_len or config.max_seq_len,
+            config.num_kv_heads,
+            config.head_dim,
+        )
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+    def layer(self, idx) -> Tuple[jax.Array, jax.Array]:
+        return self.k[idx], self.v[idx]
+
+    def replace(self, **kw) -> "KVCache":
+        return dataclasses.replace(self, **kw)
+
+
+def update_layer_cache(
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    start_pos: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Write new K/V at [.., start_pos:start_pos+S, ..] for one layer.
+
+    cache_k/v: [B, S_max, n_kv, head_dim]; k/v: [B, S, n_kv, head_dim].
+    The analog of the reference's clone-kernel cache write (cache.h:133-151),
+    but in-place via donation instead of a copy kernel.
+    """
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, jnp.asarray(start_pos, jnp.int32), zero, zero)
+    return (
+        jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), idx),
+        jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), idx),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class QuantizedKVCache:
+    """INT8 KV cache: payload + per-(position, head) scales.
+
+    Quantization is symmetric per (batch, position, kv-head): one f32 scale
+    per stored vector. Beyond the reference (which stores bf16 KV only) —
+    halves decode HBM traffic, the dominant cost at long context.
+    """
+
+    k: jax.Array        # int8 [L, B, S_max, n_kv, head_dim]
+    v: jax.Array        # int8
+    k_scale: jax.Array  # f32  [L, B, S_max, n_kv, 1]
+    v_scale: jax.Array  # f32
+
+    @classmethod
+    def create(
+        cls,
+        config: ModelConfig,
+        batch_size: int,
+        max_seq_len: Optional[int] = None,
+        dtype: jnp.dtype = jnp.int8,  # signature parity with KVCache.create
+    ) -> "QuantizedKVCache":
+        s = max_seq_len or config.max_seq_len
+        shape = (config.num_layers, batch_size, s, config.num_kv_heads, config.head_dim)
+        sshape = shape[:-1] + (1,)
+        return cls(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
+        )
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization over the head_dim axis.
+
+    x: [B, S, n_kv, head_dim] → (int8 payload, f32 scales [B, S, n_kv, 1]).
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = absmax / 127.0
+    inv = jnp.where(scale == 0.0, 0.0, 1.0 / scale)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def update_layer_cache_quantized(
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    start_pos: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Quantize new K/V and write payload + scales at start_pos."""
+    qk, sk = quantize_kv(k)
+    qv, sv = quantize_kv(v)
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, jnp.asarray(start_pos, jnp.int32), zero, zero)
+    return (
+        jax.lax.dynamic_update_slice(cache_k, qk, idx),
+        jax.lax.dynamic_update_slice(cache_v, qv, idx),
+        jax.lax.dynamic_update_slice(k_scale, sk, idx),
+        jax.lax.dynamic_update_slice(v_scale, sv, idx),
+    )
+
+
+def sink_positions(
+    start_pos: jax.Array, seq_len: int, cache_len: int, num_sink: int
+) -> jax.Array:
+    """Map logical positions → physical cache slots with attention sinks.
+
+    The reference's sink_cache keeps `log2(max_seq_len)` sink tokens and
+    rolls the remainder left on overflow (cache.h:186-204, roll kernel).
+    Here eviction is pure index math on a ring: slots [0, num_sink) are
+    pinned; slots [num_sink, cache_len) form a ring buffer the logical tail
+    wraps into. Returns physical slot ids [seq_len] for logical positions
+    start_pos + arange(seq_len).
+    """
+    logical = jnp.asarray(start_pos, jnp.int32) + jnp.arange(seq_len, dtype=jnp.int32)
+    ring = cache_len - num_sink
+    wrapped = num_sink + (logical - num_sink) % ring
+    return jnp.where(logical < cache_len, logical, wrapped)

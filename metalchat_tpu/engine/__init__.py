@@ -1,0 +1,10 @@
+"""Serving engine: jitted prefill/decode steps, generation loops,
+continuous batching scheduler, paged KV."""
+
+from metalchat_tpu.engine.generate import (  # noqa: F401
+    DecodeState,
+    generate,
+    generate_stream,
+    make_decode_step,
+    make_prefill,
+)

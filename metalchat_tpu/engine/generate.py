@@ -1,0 +1,177 @@
+"""Generation loops over jitted prefill/decode steps.
+
+The TPU re-design of the reference's decode loop (interpreter.h:358-374 +
+transformer.h:353-364): instead of re-encoding ~20 kernels × n_layers into
+command buffers per token on the host, the whole step (forward + sampling) is
+one compiled XLA program with the KV cache donated in place. Two modes:
+
+  * `generate` — closed-loop `lax.scan` over steps, entirely on device: one
+    host sync for the whole generation (the throughput path; the reference
+    pays one sync *per token*).
+  * `generate_stream` — one jitted step per token with a host sync each, for
+    interactive serving/stop-scanner semantics (parity with the reference's
+    interpreter loop).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.config import ModelConfig
+from metalchat_tpu.models.transformer import Cache, Params, forward
+from metalchat_tpu.sampling import SamplerConfig, sample
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DecodeState:
+    """Carry of the decode loop (donated between steps)."""
+
+    cache: Cache
+    last_tokens: jax.Array  # [B] int32 — sampled at the previous step
+    pos: jax.Array          # scalar int32 — cache fill length
+    key: jax.Array          # PRNG key
+    done: jax.Array         # [B] bool
+
+
+def _eos_hit(tokens: jax.Array, eos_ids: Tuple[int, ...]) -> jax.Array:
+    if not eos_ids:
+        return jnp.zeros(tokens.shape, bool)
+    eos = jnp.asarray(eos_ids, jnp.int32)
+    return jnp.any(tokens[:, None] == eos[None, :], axis=-1)
+
+
+def make_prefill(config: ModelConfig, sampler: SamplerConfig, eos_ids: Tuple[int, ...] = ()):
+    """Returns jitted prefill(params, cache, tokens, start_pos, key) → DecodeState."""
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def prefill(params: Params, cache: Cache, tokens: jax.Array, start_pos, key) -> DecodeState:
+        logits, cache = forward(params, cache, tokens, start_pos, config)
+        key, sub = jax.random.split(key)
+        next_tokens = sample(logits[:, -1], sub, sampler)
+        return DecodeState(
+            cache=cache,
+            last_tokens=next_tokens,
+            pos=jnp.asarray(start_pos, jnp.int32) + tokens.shape[1],
+            key=key,
+            done=_eos_hit(next_tokens, eos_ids),
+        )
+
+    return prefill
+
+
+def make_decode_step(config: ModelConfig, sampler: SamplerConfig, eos_ids: Tuple[int, ...] = ()):
+    """Returns jitted step(params, state) → (state, emitted_tokens [B])."""
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(params: Params, state: DecodeState) -> Tuple[DecodeState, jax.Array]:
+        emitted = state.last_tokens
+        logits, cache = forward(
+            params, state.cache, state.last_tokens[:, None], state.pos, config
+        )
+        key, sub = jax.random.split(state.key)
+        next_tokens = sample(logits[:, -1], sub, sampler)
+        done = state.done | _eos_hit(next_tokens, eos_ids)
+        # Hold the last token once a row is done (emitted ids stay stable).
+        next_tokens = jnp.where(state.done, state.last_tokens, next_tokens)
+        return (
+            DecodeState(cache, next_tokens, state.pos + 1, key, done),
+            emitted,
+        )
+
+    return step
+
+
+def generate(
+    params: Params,
+    config: ModelConfig,
+    prompt: jax.Array,
+    *,
+    max_new_tokens: int,
+    sampler: SamplerConfig = SamplerConfig.greedy(),
+    eos_ids: Tuple[int, ...] = (),
+    seed: int = 0,
+    cache: Optional[Cache] = None,
+    quantized_kv: bool = False,
+    max_seq_len: Optional[int] = None,
+) -> jax.Array:
+    """Closed-loop generation: prompt [B, S] → generated ids [B, max_new_tokens].
+
+    The decode loop is a `lax.scan` inside one jit — a single dispatch and a
+    single host sync for the entire generation.
+    """
+    b, s = prompt.shape
+    if cache is None:
+        limit = max_seq_len or min(config.max_seq_len, s + max_new_tokens)
+        cls = QuantizedKVCache if quantized_kv else KVCache
+        cache = cls.create(config, b, limit)
+
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames="steps")
+    def run(params, cache, prompt, key, steps: int):
+        logits, cache = forward(params, cache, prompt, 0, config)
+        key, sub = jax.random.split(key)
+        first = sample(logits[:, -1], sub, sampler)
+        state = DecodeState(
+            cache=cache,
+            last_tokens=first,
+            pos=jnp.asarray(s, jnp.int32),
+            key=key,
+            done=_eos_hit(first, eos_ids),
+        )
+
+        def body(state, _):
+            emitted = state.last_tokens
+            logits, cache = forward(
+                params, state.cache, state.last_tokens[:, None], state.pos, config
+            )
+            key, sub = jax.random.split(state.key)
+            nxt = sample(logits[:, -1], sub, sampler)
+            done = state.done | _eos_hit(nxt, eos_ids)
+            nxt = jnp.where(state.done, state.last_tokens, nxt)
+            return DecodeState(cache, nxt, state.pos + 1, key, done), emitted
+
+        state, tokens = jax.lax.scan(body, state, length=steps)
+        return tokens.T  # [steps, B] → [B, steps]
+
+    return run(params, cache, prompt, jax.random.PRNGKey(seed), steps=max_new_tokens)
+
+
+def generate_stream(
+    params: Params,
+    config: ModelConfig,
+    prompt: Sequence[int],
+    *,
+    max_new_tokens: int,
+    sampler: SamplerConfig = SamplerConfig(),
+    eos_ids: Tuple[int, ...] = (),
+    seed: int = 0,
+    cache: Optional[Cache] = None,
+    start_pos: int = 0,
+    max_seq_len: Optional[int] = None,
+) -> Iterator[int]:
+    """Stream generated token ids one at a time (batch of one).
+
+    Stops on EOS or token budget; the caller (chat interpreter) applies its
+    own scanners on top. Reuses a caller-provided cache for multi-turn
+    sessions (the interpreter keeps the conversation's KV warm).
+    """
+    tokens = jnp.asarray(prompt, jnp.int32)[None, :]
+    if cache is None:
+        limit = max_seq_len or min(config.max_seq_len, len(prompt) + max_new_tokens + start_pos)
+        cache = KVCache.create(config, 1, limit)
+    prefill = make_prefill(config, sampler, eos_ids)
+    step = make_decode_step(config, sampler, eos_ids)
+    state = prefill(params, cache, tokens, start_pos, jax.random.PRNGKey(seed))
+    for _ in range(max_new_tokens):
+        token = int(state.last_tokens[0])
+        if bool(state.done[0]) and token in eos_ids:
+            yield token
+            return
+        yield token
+        state, _ = step(params, state)

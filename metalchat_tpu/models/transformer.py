@@ -1,0 +1,235 @@
+"""Generic decoder-only transformer, TPU-first.
+
+Replaces the reference's `nn::llama3` / `nn::gemma3` module trees
+(nn/llama.h:43-135, nn/gemma.h:24-146) with a single functional forward over
+a parameter pytree:
+
+  * per-layer weights are **stacked on a leading layer axis** and the block
+    loop is a `lax.scan` — one trace/compile of the block regardless of
+    depth, the idiomatic XLA formulation (the reference re-encodes ~20
+    kernels × 16 layers per token on the CPU; here the whole step is one
+    compiled program).
+  * all linear weights are stored **[in, out]-major** so every matmul hits
+    the MXU without layout churn.
+  * Gemma-3 specifics (q/k-norm, post-norms, embedding scale, alternating
+    sliding/global attention with two rope tables — nn/gemma.h:61-146) are
+    driven by `ModelConfig` flags and a per-layer `is_global` vector, selected
+    with `jnp.where` inside the scan (compiler-friendly, no Python branching).
+
+Param tree layout (dotted safetensors names map 1:1 via io.loaders):
+
+  params = {
+    "embed":      [V, H],
+    "layers": {   # every leaf [L, ...]
+      "attn_norm": [L, H], "wq": [L, H, nh*hd], "wk": [L, H, nkv*hd],
+      "wv": [L, H, nkv*hd], "wo": [L, nh*hd, H],
+      ("q_norm"/"k_norm": [L, hd])  ("post_attn_norm"/"post_ffn_norm": [L, H])
+      "ffn_norm": [L, H], "w1": [L, H, F], "w3": [L, H, F], "w2": [L, F, H],
+    },
+    "final_norm": [H],
+    "lm_head":    [H, V],
+    "rope":       {"cos"/"sin": [S_max, hd/2], ("cos_local"/"sin_local")},
+  }
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from metalchat_tpu.cache import (
+    KVCache,
+    QuantizedKVCache,
+    dequantize_kv,
+    update_layer_cache,
+    update_layer_cache_quantized,
+)
+from metalchat_tpu.config import ModelConfig
+from metalchat_tpu.ops import xla as ops
+from metalchat_tpu.quant.quantize import linear, lookup_embedding
+
+Params = Dict[str, Any]
+Cache = Union[KVCache, QuantizedKVCache]
+
+
+def make_rope_tables(config: ModelConfig, max_seq_len: Optional[int] = None) -> Dict[str, jax.Array]:
+    """Precompute rope cos/sin (global + optional Gemma local tables)."""
+    s = max_seq_len or config.max_seq_len
+    cos, sin = ops.precompute_rope(config.head_dim, s, config.rope_theta, config.rope_scaling)
+    tables = {"cos": cos, "sin": sin}
+    if config.rope_local_theta is not None:
+        cos_l, sin_l = ops.precompute_rope(config.head_dim, s, config.rope_local_theta)
+        tables["cos_local"] = cos_l
+        tables["sin_local"] = sin_l
+    return tables
+
+
+def _layer_step(
+    x: jax.Array,
+    layer: Params,
+    cache_slices: Tuple[jax.Array, ...],
+    is_global: jax.Array,
+    *,
+    config: ModelConfig,
+    rope: Dict[str, jax.Array],
+    positions: jax.Array,
+    start_pos: jax.Array,
+    quantized_cache: bool,
+) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    b, s, hidden = x.shape
+    nh, nkv, hd = config.num_heads, config.num_kv_heads, config.head_dim
+    eps, mu = config.rms_norm_eps, config.norm_weight_offset
+
+    h = ops.rms_norm(x, layer["attn_norm"], eps=eps, offset=mu)
+    q = linear(h, layer["wq"]).reshape(b, s, nh, hd)
+    k = linear(h, layer["wk"]).reshape(b, s, nkv, hd)
+    v = linear(h, layer["wv"]).reshape(b, s, nkv, hd)
+
+    if config.use_qk_norm:
+        q = ops.rms_norm(q, layer["q_norm"], eps=eps, offset=mu)
+        k = ops.rms_norm(k, layer["k_norm"], eps=eps, offset=mu)
+
+    # Per-layer rope table choice (Gemma local vs global theta).
+    cos, sin = rope["cos"], rope["sin"]
+    if "cos_local" in rope:
+        cos = jnp.where(is_global, cos, rope["cos_local"])
+        sin = jnp.where(is_global, sin, rope["sin_local"])
+    q = ops.apply_rope(q, cos, sin, positions)
+    k = ops.apply_rope(k, cos, sin, positions)
+
+    if quantized_cache:
+        ck, cv, sk, sv = update_layer_cache_quantized(*cache_slices, k, v, start_pos)
+        new_slices: Tuple[jax.Array, ...] = (ck, cv, sk, sv)
+        keys = dequantize_kv(ck, sk, x.dtype)
+        values = dequantize_kv(cv, sv, x.dtype)
+    else:
+        ck, cv = update_layer_cache(*cache_slices, k, v, start_pos)
+        new_slices = (ck, cv)
+        keys, values = ck, cv
+
+    kv_len = keys.shape[1]
+    valid = start_pos + s
+    mask = ops.causal_mask(positions, kv_len, valid)
+    if config.sliding_window is not None:
+        sliding = ops.causal_mask(positions, kv_len, valid, config.sliding_window)
+        mask = jnp.where(is_global, mask, sliding)
+
+    scale = config.query_scale if config.query_scale is not None else hd**-0.5
+    attn = ops.attention(q, keys, values, mask, scale=scale)
+    attn = linear(attn.reshape(b, s, nh * hd), layer["wo"])
+    if config.use_post_norms:
+        attn = ops.rms_norm(attn, layer["post_attn_norm"], eps=eps, offset=mu)
+    x = x + attn
+
+    h = ops.rms_norm(x, layer["ffn_norm"], eps=eps, offset=mu)
+    ffn = ops.swiglu(h, layer["w1"], layer["w3"], layer["w2"], config.hidden_act, matmul=linear)
+    if config.use_post_norms:
+        ffn = ops.rms_norm(ffn, layer["post_ffn_norm"], eps=eps, offset=mu)
+    x = x + ffn
+    return x, new_slices
+
+
+def forward(
+    params: Params,
+    cache: Cache,
+    tokens: jax.Array,
+    start_pos: jax.Array,
+    config: ModelConfig,
+) -> Tuple[jax.Array, Cache]:
+    """One model step (prefill when S>1, decode when S==1).
+
+    tokens: int32 [B, S]; start_pos: scalar int32 — the write offset into the
+    cache (all rows share it; the batching engine uses per-row offsets via its
+    paged path). Returns (float32 logits [B, S, V], updated cache).
+    """
+    b, s = tokens.shape
+    start_pos = jnp.asarray(start_pos, jnp.int32)
+    positions = start_pos + jnp.arange(s, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (b, s))
+
+    # Activation dtype follows the (always-dense) final norm weight.
+    x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
+    if config.embedding_scale is not None:
+        x = x * jnp.asarray(config.embedding_scale, x.dtype)
+
+    is_global = jnp.asarray(
+        [config.layer_is_global(i) for i in range(config.num_layers)]
+    )
+
+    quantized = isinstance(cache, QuantizedKVCache)
+    if quantized:
+        cache_leaves = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    else:
+        cache_leaves = (cache.k, cache.v)
+
+    def scan_fn(carry, xs):
+        layer, slices, layer_global = xs
+        new_carry, new_slices = _layer_step(
+            carry,
+            layer,
+            slices,
+            layer_global,
+            config=config,
+            rope=params["rope"],
+            positions=positions,
+            start_pos=start_pos,
+            quantized_cache=quantized,
+        )
+        return new_carry, new_slices
+
+    x, new_leaves = jax.lax.scan(scan_fn, x, (params["layers"], cache_leaves, is_global))
+
+    x = ops.rms_norm(x, params["final_norm"], eps=config.rms_norm_eps, offset=config.norm_weight_offset)
+    logits = linear(x, params["lm_head"]).astype(jnp.float32)
+
+    if quantized:
+        new_cache: Cache = QuantizedKVCache(*new_leaves)
+    else:
+        new_cache = KVCache(*new_leaves)
+    return logits, new_cache
+
+
+def init_random_params(
+    config: ModelConfig,
+    seed: int = 0,
+    dtype: jnp.dtype = jnp.bfloat16,
+    max_seq_len: Optional[int] = None,
+) -> Params:
+    """Random-initialized parameter tree (tests / benchmarks without weights)."""
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 16))
+    h, f = config.hidden_size, config.intermediate_size
+    nh, nkv, hd, L = config.num_heads, config.num_kv_heads, config.head_dim, config.num_layers
+
+    def dense(k, *shape, std=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, h), dtype),
+        "wq": dense(next(keys), L, h, nh * hd),
+        "wk": dense(next(keys), L, h, nkv * hd),
+        "wv": dense(next(keys), L, h, nkv * hd),
+        "wo": dense(next(keys), L, nh * hd, h),
+        "ffn_norm": jnp.ones((L, h), dtype),
+        "w1": dense(next(keys), L, h, f),
+        "w3": dense(next(keys), L, h, f),
+        "w2": dense(next(keys), L, f, h),
+    }
+    if config.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, hd), dtype)
+        layers["k_norm"] = jnp.ones((L, hd), dtype)
+    if config.use_post_norms:
+        layers["post_attn_norm"] = jnp.ones((L, h), dtype)
+        layers["post_ffn_norm"] = jnp.ones((L, h), dtype)
+
+    embed = dense(next(keys), config.vocab_size, h)
+    params: Params = {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": embed.T if config.tie_word_embeddings else dense(next(keys), h, config.vocab_size),
+        "rope": make_rope_tables(config, max_seq_len),
+    }
+    return params

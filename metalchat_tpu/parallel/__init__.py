@@ -1,0 +1,15 @@
+"""Parallelism: device meshes, sharding rules, distributed init.
+
+The reference has no multi-device support at all (SURVEY.md §2.9); this
+package is the from-scratch TPU-native communication layer: an ICI/DCN
+`jax.sharding.Mesh`, NamedSharding rules for weights/KV (tensor parallel)
+and batch (data parallel), with XLA emitting and overlapping the collectives.
+"""
+
+from metalchat_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    param_shardings,
+    cache_shardings,
+    shard_params,
+    shard_cache,
+)

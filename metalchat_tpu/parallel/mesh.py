@@ -1,0 +1,126 @@
+"""Device mesh + sharding rules (tensor / data parallel).
+
+Design per the scaling-book recipe: pick a mesh, annotate shardings on the
+params/cache pytrees, let XLA's SPMD partitioner insert and overlap the
+collectives (all-gather for column-parallel outputs consumed row-parallel,
+reduce-scatter/psum after row-parallel matmuls). Axes:
+
+  * ``dp`` — data parallel over the batch (requests are independent).
+  * ``tp`` — tensor parallel: attention heads and FFN width sharded; the KV
+    cache is sharded over kv-heads so decode attention is communication-free
+    (GQA co-location), and only the o-proj/FFN reductions touch ICI.
+
+On a multi-host pod slice `jax.distributed.initialize` + the same code give
+DCN+ICI meshes (`make_mesh(allow_multihost=True)` uses all global devices).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.config import ModelConfig
+
+
+def make_mesh(
+    tp: Optional[int] = None,
+    dp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ("dp", "tp") mesh. Defaults: tp = all devices / dp."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _check_divisibility(config: ModelConfig, tp: int) -> None:
+    for name, value in (
+        ("num_heads", config.num_heads),
+        ("intermediate_size", config.intermediate_size),
+    ):
+        if value % tp:
+            raise ValueError(f"{name}={value} not divisible by tp={tp}")
+
+
+def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
+    """PartitionSpec tree matching models.transformer param layout.
+
+    Column-parallel: wq/wk/wv (out-features = heads·hd on ``tp``), w1/w3.
+    Row-parallel: wo, w2 (in-features on ``tp`` → psum of partial outputs).
+    Embedding/lm_head sharded on the vocab axis; norms replicated.
+    """
+    tp = mesh.shape["tp"]
+    if tp > 1:
+        _check_divisibility(config, tp)
+    # GQA co-location: shard KV projections/cache over kv-heads when they
+    # divide tp; otherwise replicate KV and shard only Q heads (the standard
+    # trade when kv_heads < chips — attention stays communication-free).
+    kv_spec = P(None, None, "tp") if config.num_kv_heads % tp == 0 else P(None, None, None)
+    specs = {
+        "embed": P("tp", None),           # [V, H] — vocab sharded
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),         # [H, V] — vocab-parallel logits
+        "layers": {
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": kv_spec,
+            "wv": kv_spec,
+            "wo": P(None, "tp", None),
+            "w1": P(None, None, "tp"),
+            "w3": P(None, None, "tp"),
+            "w2": P(None, "tp", None),
+        },
+        "rope": {"cos": P(None, None), "sin": P(None, None)},
+    }
+    # Optional per-config leaves (Gemma).
+    for extra in ("q_norm", "k_norm", "post_attn_norm", "post_ffn_norm"):
+        specs["layers"][extra] = P(None, None)
+    for extra in ("cos_local", "sin_local"):
+        specs["rope"][extra] = P(None, None)
+
+    def to_sharding(spec):
+        return NamedSharding(mesh, spec)
+
+    return jax.tree.map(to_sharding, specs, is_leaf=lambda x: isinstance(x, P))
+
+
+def cache_shardings(mesh: Mesh, quantized: bool = False, num_kv_heads: Optional[int] = None):
+    """KV cache [L, B, S, n_kv, hd]: batch on dp, kv-heads on tp (replicated
+    over tp when kv-heads don't divide it — matching param_shardings)."""
+    tp = mesh.shape["tp"]
+    head_axis = "tp" if (num_kv_heads is None or num_kv_heads % tp == 0) else None
+    kv = NamedSharding(mesh, P(None, "dp", None, head_axis, None))
+    if quantized:
+        return QuantizedKVCache(k=kv, v=kv, k_scale=kv, v_scale=kv)
+    return KVCache(k=kv, v=kv)
+
+
+def _prune_to(tree: Dict[str, Any], reference: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for key, value in reference.items():
+        spec = tree[key]
+        out[key] = _prune_to(spec, value) if isinstance(value, dict) else spec
+    return out
+
+
+def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
+    """Place a parameter tree onto the mesh with TP shardings."""
+    shardings = _prune_to(param_shardings(config, mesh), params)
+    return jax.device_put(params, shardings)
+
+
+def shard_cache(cache, mesh: Mesh):
+    quantized = isinstance(cache, QuantizedKVCache)
+    num_kv = cache.k.shape[3]
+    return jax.device_put(cache, cache_shardings(mesh, quantized, num_kv))

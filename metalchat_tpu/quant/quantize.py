@@ -1,0 +1,233 @@
+"""Blockwise weight-only quantization (INT8 / INT4) + QLoRA adaptors.
+
+TPU-native re-design of the reference's quantization layers
+(quantization/linear.h:16-56, lora.h:56-175): the reference swaps nn layers
+via `replace_layer` surgery and dequantizes int8 → bf16 *then* matmuls
+(dequant-then-matmul); here quantization is a **parameter-tree transform**
+(`quantize_params`) and the matmul consumes the packed weights directly with
+per-group scaling folded into the contraction (`quant_matmul`) — no
+dequantized weight matrix is ever materialized:
+
+    y[b,o] = Σ_G  s[G,o] · Σ_g  x[b,G,g] · q[G,g,o]
+
+which is exactly groupwise-affine dequantization, but the inner Σ_g runs on
+the MXU over int8-cast operands and only [B, n_groups, out] partials exist.
+The Pallas fused kernel (ops/quant_matmul.py) implements the same contraction
+with int8 HBM reads; this module is the XLA reference path and the packing
+tool.
+
+Layout: linear weights are [in, out]-major (as everywhere in this framework);
+`scales` are [in/group, out]. The reference's checkpoint format stores
+[out, in] int8 + [out, in/group] scales (lora.h:105-117) — the loader
+transposes. INT4 packs two nibbles per byte along the `in` axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scales"],
+    meta_fields=["bits", "group_size"],
+)
+@dataclass
+class QuantizedTensor:
+    """Groupwise-quantized 2-D weight (leaves may carry a leading stacked
+    layer axis [L, ...] for the scan-over-layers model)."""
+
+    q: jax.Array        # int8 [(L,) in, out]  (int4: [(L,) in//2, out] packed)
+    scales: jax.Array   # f32/bf16 [(L,) in//group, out]
+    bits: int = 8
+    group_size: int = 32
+
+    @property
+    def in_features(self) -> int:
+        n = self.q.shape[-2]
+        return n * 2 if self.bits == 4 else n
+
+    @property
+    def out_features(self) -> int:
+        return self.q.shape[-1]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["base", "a", "b"],
+    meta_fields=["scale"],
+)
+@dataclass
+class LoraLinear:
+    """Quantized base + low-rank adaptor: y = base(x) + scale·(x·A)·B
+    (reference: quantization/lora.h:56-130, defaults scale=2.0)."""
+
+    base: Any           # QuantizedTensor or dense jax.Array [in, out]
+    a: jax.Array        # [(L,) in, rank]
+    b: jax.Array        # [(L,) rank, out]
+    scale: float = 2.0
+
+
+def _pack_int4(w4: np.ndarray) -> np.ndarray:
+    """Pack int4 values [-8, 7] along the in axis, two per byte."""
+    lo = w4[..., 0::2, :] & 0x0F
+    hi = (w4[..., 1::2, :] & 0x0F) << 4
+    return (lo | hi).astype(np.int8)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """int8 [..., in//2, out] → int8 [..., in, out] (sign-extended nibbles)."""
+    lo = jnp.left_shift(packed, 4)
+    lo = jnp.right_shift(lo, 4)  # arithmetic: sign-extends the low nibble
+    hi = jnp.right_shift(packed, 4)
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in//2, 2, out]
+    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    return stacked.reshape(shape)
+
+
+def quantize(
+    w: jax.Array | np.ndarray,
+    bits: int = 8,
+    group_size: int = 32,
+    scales_dtype=jnp.float32,
+) -> QuantizedTensor:
+    """Symmetric groupwise quantization of an [in, out] weight."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    w = np.asarray(w, np.float32)
+    in_features, out_features = w.shape[-2:]
+    if in_features % group_size:
+        raise ValueError(f"in_features={in_features} not divisible by group={group_size}")
+    g = w.reshape(*w.shape[:-2], in_features // group_size, group_size, out_features)
+    qmax = 127.0 if bits == 8 else 7.0
+    absmax = np.abs(g).max(axis=-2, keepdims=True)
+    scales = absmax / qmax
+    inv = np.where(scales == 0.0, 0.0, 1.0 / scales)
+    q = np.clip(np.round(g * inv), -qmax, qmax).astype(np.int8)
+    q = q.reshape(w.shape)
+    if bits == 4:
+        q = _pack_int4(q)
+    return QuantizedTensor(
+        q=jnp.asarray(q),
+        scales=jnp.asarray(scales.squeeze(-2), scales_dtype),
+        bits=bits,
+        group_size=group_size,
+    )
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the dense weight (tests / the reference's one-time-dequant
+    path, quantization/linear.h:50-54)."""
+    q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    shape = q.shape
+    grouped = q.reshape(*shape[:-2], shape[-2] // qt.group_size, qt.group_size, shape[-1])
+    deq = grouped.astype(jnp.float32) * qt.scales.astype(jnp.float32)[..., :, None, :]
+    return deq.reshape(shape).astype(dtype)
+
+
+def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
+    """x [..., in] @ dequant(qt) [in, out] with scales folded into the
+    contraction (exact groupwise math, no dense weight materialized)."""
+    q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    in_features, out_features = q.shape[-2:]
+    n_groups = in_features // qt.group_size
+    lead = x.shape[:-1]
+    xg = x.reshape(-1, n_groups, qt.group_size)
+    wg = q.reshape(n_groups, qt.group_size, out_features).astype(x.dtype)
+    partial_ = jnp.einsum("bGg,Ggo->bGo", xg, wg, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "bGo,Go->bo", partial_, qt.scales.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(*lead, out_features).astype(x.dtype)
+
+
+def linear(x: jax.Array, w) -> jax.Array:
+    """Linear dispatch: dense array, QuantizedTensor, or LoraLinear.
+
+    The runtime analog of the reference's polymorphic `basic_linear` slot
+    (nn/linear.h:17-93 + replace_layer hot-swap): the pytree leaf type picks
+    the implementation at trace time.
+    """
+    if isinstance(w, LoraLinear):
+        y = linear(x, w.base)
+        adapt = (x @ w.a) @ w.b
+        return y + adapt * jnp.asarray(w.scale, y.dtype)
+    if isinstance(w, QuantizedTensor):
+        return quant_matmul(x, w)
+    return x @ w
+
+
+def lookup_embedding(tokens: jax.Array, embed) -> jax.Array:
+    """Embedding lookup for dense or row-quantized tables.
+
+    Quantized layout: q int8 [V, H], scales [V, H/group] (reference
+    lora_embedding, lora.h:133-175) — gather rows then dequantize just the
+    gathered rows.
+    """
+    if isinstance(embed, QuantizedTensor):
+        # Row-major table: groups run along H (axis -1 of each row).
+        q = embed.q[tokens]  # [..., H] int8 (packed if int4)
+        if embed.bits == 4:
+            lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
+            hi = jnp.right_shift(q, 4)
+            q = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], q.shape[-1] * 2)
+        s = embed.scales[tokens]  # [..., H/group]
+        grouped = q.reshape(*q.shape[:-1], s.shape[-1], -1).astype(jnp.float32)
+        return (grouped * s[..., None].astype(jnp.float32)).reshape(q.shape)
+    return embed[tokens]
+
+
+# -- parameter-tree surgery -------------------------------------------------
+
+_DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+def quantize_params(
+    params: Dict[str, Any],
+    *,
+    bits: int = 8,
+    group_size: int = 32,
+    targets=_DEFAULT_TARGETS,
+    quantize_lm_head: bool = False,
+    quantize_embed: bool = False,
+    scales_dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Quantize selected leaves of a parameter tree.
+
+    The analog of the reference's `replace_layer` surgery
+    (layer.h:788-920 + llama3_qlora serializer adapt()): instead of swapping
+    module objects under a registry, the transform rewrites pytree leaves —
+    the forward dispatches on leaf type.
+    """
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    for name in targets:
+        if name in out["layers"]:
+            out["layers"][name] = quantize(
+                out["layers"][name], bits=bits, group_size=group_size,
+                scales_dtype=scales_dtype,
+            )
+    if quantize_lm_head:
+        out["lm_head"] = quantize(params["lm_head"], bits=bits, group_size=group_size,
+                                  scales_dtype=scales_dtype)
+    if quantize_embed:
+        # Row-quantized: treat [V, H] as out-major by quantizing its transpose
+        # groupwise along H, then storing row-major again.
+        embed = np.asarray(params["embed"], np.float32)
+        v, h = embed.shape
+        qt = quantize(embed.T, bits=bits, group_size=group_size, scales_dtype=scales_dtype)
+        out["embed"] = QuantizedTensor(
+            q=jnp.swapaxes(qt.q, -1, -2),
+            scales=jnp.swapaxes(qt.scales, -1, -2),
+            bits=bits,
+            group_size=group_size,
+        )
+    return out

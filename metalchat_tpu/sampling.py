@@ -1,0 +1,96 @@
+"""Token samplers — fully on-device.
+
+Re-design of the reference sampler stack (nn/sampling.h:22-315): the
+reference composes `topk → nucleus → multinomial` as separate lazy-tensor
+stages, with top-k on the *CPU* (a device sync mid-pipeline,
+sampling.h:249-257) and multinomial via a custom PCG32 inverse-CDF kernel.
+Here the whole pipeline is one fused jit region on device: temperature,
+top-k mask (`lax.top_k`), nucleus mask (sort + exclusive-cumsum), and a
+Gumbel-max categorical draw (`jax.random.categorical`) — zero host syncs.
+
+The `SamplerConfig` defaults mirror the reference's default chain
+(sampling.h:304-315: topk(max(50,k)) → nucleus(T=0.6, p=0.9) → multinomial).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -jnp.inf
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampling configuration (hashable → usable as a jit static arg)."""
+
+    temperature: float = 0.6
+    top_k: int = 50
+    top_p: float = 0.9
+
+    @staticmethod
+    def greedy() -> "SamplerConfig":
+        return SamplerConfig(temperature=0.0, top_k=0, top_p=1.0)
+
+    @property
+    def is_greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
+def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k largest logits per row, -inf elsewhere
+    (device-side replacement for the reference's CPU partial_sort top-k)."""
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    vals, _ = jax.lax.top_k(logits, k)
+    threshold = vals[..., -1:]
+    return jnp.where(logits >= threshold, logits, _NEG)
+
+
+def top_p_mask(logits: jax.Array, p: float) -> jax.Array:
+    """Nucleus filtering (reference: sampling.h:183-200, sort→cumsum→scatter).
+
+    Keeps the smallest prefix of descending-probability tokens whose mass
+    reaches `p` (the token that crosses the boundary is kept, matching the
+    exclusive-cumsum convention).
+    """
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1, descending=True)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    exclusive = cum - probs
+    # Logit value of the last kept (sorted) position per row.
+    keep_sorted = exclusive < p
+    idx = jnp.sum(keep_sorted, axis=-1, keepdims=True) - 1
+    cutoff = jnp.take_along_axis(sorted_logits, idx, axis=-1)
+    return jnp.where(logits >= cutoff, logits, _NEG)
+
+
+def sample(
+    logits: jax.Array,
+    key: Optional[jax.Array],
+    config: SamplerConfig = SamplerConfig(),
+) -> jax.Array:
+    """Draw next-token ids [B] from logits [B, V]."""
+    logits = logits.astype(jnp.float32)
+    if config.is_greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / config.temperature
+    logits = top_k_mask(logits, config.top_k)
+    logits = top_p_mask(logits, config.top_p)
+    assert key is not None, "stochastic sampling requires a PRNG key"
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def multinomial(probs: jax.Array, key: jax.Array) -> jax.Array:
+    """Inverse-CDF multinomial over probabilities (reference:
+    kernel/multinomial.metal:17-123 binary-search sampler). Provided for
+    parity; `sample` uses the Gumbel-max trick instead."""
+    cum = jnp.cumsum(probs, axis=-1)
+    u = jax.random.uniform(key, probs.shape[:-1] + (1,), dtype=probs.dtype)
+    u = u * cum[..., -1:]
+    return jnp.sum(cum < u, axis=-1).astype(jnp.int32)
