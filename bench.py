@@ -2,11 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Benchmark: Llama-3.2-1B bf16 closed-loop decode, batch 1 (the reference's
-functional scale point — BASELINE.md: Llama-3.2-1B interactive decode on
-Apple Silicon, no recorded rate). The reference publishes no numbers, so
-`vs_baseline` is the fraction of the HBM roofline achieved on this chip:
-decoding is bandwidth-bound, roofline tok/s = HBM_BW / bytes(weights+KV).
+Headline config (BASELINE.json metric): **Llama-3.1-8B INT4 weight-only +
+INT8 KV cache, single chip, closed-loop decode**. Throughput is measured as
+the *marginal* tokens/s between a short and a long generation (the axon
+tunnel adds ~1.7 s of fixed per-invocation latency that would otherwise
+swamp the number; both runs pay it, the delta cancels it).
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
+the fraction of this chip's HBM roofline achieved: decode is bandwidth-bound
+and roofline tok/s = HBM_BW / bytes-read-per-token (weights + scales + KV).
+
+Other configs: --config {8b-int4, 1b-bf16, 1b-int8, small}.
 """
 
 from __future__ import annotations
@@ -18,70 +24,94 @@ import time
 import jax
 import jax.numpy as jnp
 
+HBM_BW = 819e9  # v5e ("TPU v5 lite") HBM bandwidth, bytes/s
 
-def _roofline_tokens_per_sec(num_params: int, bytes_per_param: float, kv_bytes_per_token: float) -> float:
-    # v5e ("TPU v5 lite"): ~819 GB/s HBM bandwidth.
-    hbm_bw = 819e9
-    return hbm_bw / (num_params * bytes_per_param + kv_bytes_per_token)
+
+def build(config_name: str):
+    from metalchat_tpu.config import LlamaConfig
+    from metalchat_tpu.models import init_random_params
+    from metalchat_tpu.quant.quantize import init_random_quantized_params
+
+    if config_name == "8b-int4":
+        cfg = LlamaConfig.llama31_8b(max_seq_len=1024)
+        params = init_random_quantized_params(cfg, bits=4, group_size=32,
+                                              max_seq_len=1024)
+        quantized_kv = True
+    elif config_name == "1b-int8":
+        cfg = LlamaConfig.llama32_1b(max_seq_len=1024)
+        params = init_random_quantized_params(cfg, bits=8, group_size=32,
+                                              max_seq_len=1024)
+        quantized_kv = True
+    elif config_name == "1b-bf16":
+        cfg = LlamaConfig.llama32_1b(max_seq_len=1024)
+        params = init_random_params(cfg, dtype=jnp.bfloat16, max_seq_len=1024)
+        quantized_kv = False
+    elif config_name == "small":
+        cfg = LlamaConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            max_seq_len=512, tie_word_embeddings=False,
+        )
+        params = init_random_params(cfg, dtype=jnp.bfloat16, max_seq_len=512)
+        quantized_kv = False
+    else:
+        raise SystemExit(f"unknown config {config_name}")
+    return cfg, params, quantized_kv
+
+
+def bytes_per_token(cfg, params, quantized_kv: bool, kv_len: int, batch: int) -> float:
+    """HBM bytes read per decoded token (weights+scales once, KV per row)."""
+    import numpy as np
+
+    weight_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(params)
+    ) - sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params["rope"]))
+    kv_bytes_row = (
+        2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim * (kv_len / 2)
+        * (1 if quantized_kv else 2)
+    )
+    return weight_bytes + batch * kv_bytes_row
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--small", action="store_true", help="tiny model (CI/CPU smoke)")
-    parser.add_argument("--steps", type=int, default=128)
+    parser.add_argument("--config", default="8b-int4")
     parser.add_argument("--batch", type=int, default=1)
-    parser.add_argument("--quantized-kv", action="store_true")
+    parser.add_argument("--steps-lo", type=int, default=16)
+    parser.add_argument("--steps-hi", type=int, default=144)
     args = parser.parse_args()
 
     from metalchat_tpu.cache import KVCache, QuantizedKVCache
-    from metalchat_tpu.config import LlamaConfig
     from metalchat_tpu.engine import generate
-    from metalchat_tpu.models import init_random_params
 
-    if args.small:
-        config = LlamaConfig(
-            vocab_size=512, hidden_size=128, intermediate_size=256,
-            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
-            max_seq_len=128, tie_word_embeddings=False,
-        )
-        max_seq = 128
-    else:
-        config = LlamaConfig(max_seq_len=1024)  # Llama-3.2-1B shape
-        max_seq = 1024
-
-    params = init_random_params(config, seed=0, dtype=jnp.bfloat16)
-    n_params = sum(
-        int(x.size) for x in jax.tree.leaves(params)
-    ) - sum(int(x.size) for x in jax.tree.leaves(params["rope"]))
-
-    cls = QuantizedKVCache if args.quantized_kv else KVCache
+    cfg, params, quantized_kv = build(args.config)
+    max_seq = cfg.max_seq_len
+    cls = QuantizedKVCache if quantized_kv else KVCache
     prompt = jnp.ones((args.batch, 16), jnp.int32)
-    steps = args.steps
 
-    def run():
-        cache = cls.create(config, args.batch, max_seq)
-        out = generate(params, config, prompt, max_new_tokens=steps, cache=cache)
-        jax.block_until_ready(out)
-        return out
+    import numpy as np
 
-    run()  # warmup + compile
-    times = []
-    for _ in range(3):
+    def run(steps: int) -> float:
+        cache = cls.create(cfg, args.batch, max_seq)
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    tokens_per_sec = args.batch * steps / best
+        out = generate(params, cfg, prompt, max_new_tokens=steps, cache=cache)
+        np.asarray(out)  # force real device completion through the tunnel
+        return time.perf_counter() - t0
 
-    kv_bytes = (
-        2 * config.num_layers * config.num_kv_heads * config.head_dim
-        * (1 if args.quantized_kv else 2) * (max_seq / 2) * args.batch
-    )
-    roofline = _roofline_tokens_per_sec(n_params, 2.0, kv_bytes)
+    run(args.steps_lo)  # compile both step counts
+    run(args.steps_hi)
+    lo = min(run(args.steps_lo) for _ in range(2))
+    hi = min(run(args.steps_hi) for _ in range(2))
+    marginal = (hi - lo) / (args.steps_hi - args.steps_lo)
+    tokens_per_sec = args.batch / marginal
+
+    bpt = bytes_per_token(cfg, params, quantized_kv, max_seq, args.batch)
+    roofline = HBM_BW / bpt * args.batch
     print(
         json.dumps(
             {
-                "metric": "llama1b_bf16_decode_tokens_per_sec",
+                "metric": f"llama_{args.config}_decode_tokens_per_sec",
                 "value": round(tokens_per_sec, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(tokens_per_sec / roofline, 4),

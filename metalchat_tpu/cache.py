@@ -6,7 +6,8 @@ cache is an immutable pytree threaded through the jitted step function and
 updated with `lax.dynamic_update_slice`; under `jax.jit` with buffer donation
 the update happens in place on device. Variants:
 
-  * `KVCache`        — dense [L, B, S_max, n_kv, head_dim] ring of keys/values.
+  * `KVCache`        — dense [L, B, n_kv, S_max, head_dim] keys/values
+    (head-major: the layout Pallas attention kernels and paged KV use).
   * `QuantizedKVCache` — int8 payload + per-(token, head) float scales
     (beyond the reference; halves HBM traffic at decode).
   * sink/sliding eviction — index math (`sink_positions`) replacing the
@@ -32,7 +33,7 @@ from metalchat_tpu.config import ModelConfig
 class KVCache:
     """Dense per-layer KV cache; leaves stacked over layers on axis 0."""
 
-    k: jax.Array  # [L, B, S_max, n_kv_heads, head_dim]
+    k: jax.Array  # [L, B, n_kv_heads, S_max, head_dim]
     v: jax.Array
 
     @classmethod
@@ -46,15 +47,15 @@ class KVCache:
         shape = (
             config.num_layers,
             batch_size,
-            max_seq_len or config.max_seq_len,
             config.num_kv_heads,
+            max_seq_len or config.max_seq_len,
             config.head_dim,
         )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch_size(self) -> int:
@@ -76,15 +77,18 @@ def update_layer_cache(
 ) -> Tuple[jax.Array, jax.Array]:
     """Write new K/V at [.., start_pos:start_pos+S, ..] for one layer.
 
-    cache_k/v: [B, S_max, n_kv, head_dim]; k/v: [B, S, n_kv, head_dim].
-    The analog of the reference's clone-kernel cache write (cache.h:133-151),
-    but in-place via donation instead of a copy kernel.
+    cache_k/v: [B, n_kv, S_max, head_dim]; k/v arrive model-natural as
+    [B, S, n_kv, head_dim] and are transposed head-major here. The analog of
+    the reference's clone-kernel cache write (cache.h:133-151), but in-place
+    via donation instead of a copy kernel.
     """
     zero = jnp.zeros((), jnp.int32)
-    idx = (zero, jnp.asarray(start_pos, jnp.int32), zero, zero)
+    idx = (zero, zero, jnp.asarray(start_pos, jnp.int32), zero)
+    k = jnp.swapaxes(k, 1, 2).astype(cache_k.dtype)
+    v = jnp.swapaxes(v, 1, 2).astype(cache_v.dtype)
     return (
-        jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), idx),
-        jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), idx),
+        jax.lax.dynamic_update_slice(cache_k, k, idx),
+        jax.lax.dynamic_update_slice(cache_v, v, idx),
     )
 
 
@@ -98,9 +102,9 @@ class QuantizedKVCache:
     halves decode HBM traffic, the dominant cost at long context.
     """
 
-    k: jax.Array        # int8 [L, B, S_max, n_kv, head_dim]
+    k: jax.Array        # int8 [L, B, n_kv, S_max, head_dim]
     v: jax.Array        # int8
-    k_scale: jax.Array  # f32  [L, B, S_max, n_kv, 1]
+    k_scale: jax.Array  # f32  [L, B, n_kv, S_max, 1]
     v_scale: jax.Array  # f32
 
     @classmethod
@@ -112,7 +116,7 @@ class QuantizedKVCache:
         dtype: jnp.dtype = jnp.int8,  # signature parity with KVCache.create
     ) -> "QuantizedKVCache":
         s = max_seq_len or config.max_seq_len
-        shape = (config.num_layers, batch_size, s, config.num_kv_heads, config.head_dim)
+        shape = (config.num_layers, batch_size, config.num_kv_heads, s, config.head_dim)
         sshape = shape[:-1] + (1,)
         return cls(
             k=jnp.zeros(shape, jnp.int8),
@@ -123,7 +127,7 @@ class QuantizedKVCache:
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch_size(self) -> int:
@@ -133,7 +137,7 @@ class QuantizedKVCache:
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric int8 quantization over the head_dim axis.
 
-    x: [B, S, n_kv, head_dim] → (int8 payload, f32 scales [B, S, n_kv, 1]).
+    x: [..., S, head_dim] → (int8 payload, f32 scales [..., S, 1]).
     """
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = absmax / 127.0
@@ -155,11 +159,12 @@ def update_layer_cache_quantized(
     v: jax.Array,
     start_pos: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Quantize new K/V and write payload + scales at start_pos."""
-    qk, sk = quantize_kv(k)
-    qv, sv = quantize_kv(v)
+    """Quantize new K/V (arriving [B, S, n_kv, hd]) and write head-major
+    payload + scales at start_pos."""
+    qk, sk = quantize_kv(jnp.swapaxes(k, 1, 2))
+    qv, sv = quantize_kv(jnp.swapaxes(v, 1, 2))
     zero = jnp.zeros((), jnp.int32)
-    idx = (zero, jnp.asarray(start_pos, jnp.int32), zero, zero)
+    idx = (zero, zero, jnp.asarray(start_pos, jnp.int32), zero)
     return (
         jax.lax.dynamic_update_slice(cache_k, qk, idx),
         jax.lax.dynamic_update_slice(cache_v, qv, idx),

@@ -86,6 +86,42 @@ class LlamaConfig(ModelConfig):
     model_type: str = "llama"
 
     @staticmethod
+    def llama32_1b(**kw: Any) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+            num_layers=16, num_heads=32, num_kv_heads=8, head_dim=64,
+            rope_theta=500000.0, rope_scaling=RopeScaling(factor=32.0),
+            tie_word_embeddings=True, **kw,
+        )
+
+    @staticmethod
+    def llama32_3b(**kw: Any) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+            num_layers=28, num_heads=24, num_kv_heads=8, head_dim=128,
+            rope_theta=500000.0, rope_scaling=RopeScaling(factor=32.0),
+            tie_word_embeddings=True, **kw,
+        )
+
+    @staticmethod
+    def llama31_8b(**kw: Any) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=500000.0, rope_scaling=RopeScaling(),
+            tie_word_embeddings=False, **kw,
+        )
+
+    @staticmethod
+    def llama31_70b(**kw: Any) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+            num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
+            rope_theta=500000.0, rope_scaling=RopeScaling(),
+            tie_word_embeddings=False, **kw,
+        )
+
+    @staticmethod
     def from_hf_config(cfg: Mapping[str, Any]) -> "LlamaConfig":
         """Map a HuggingFace ``config.json`` (reference: src/llama.cc:40-78)."""
         heads = int(cfg.get("num_attention_heads", 32))

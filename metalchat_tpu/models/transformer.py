@@ -47,8 +47,21 @@ from metalchat_tpu.cache import (
     update_layer_cache_quantized,
 )
 from metalchat_tpu.config import ModelConfig
-from metalchat_tpu.ops import xla as ops
+from metalchat_tpu.ops import use_pallas, xla as ops
+from metalchat_tpu.ops.decode_attention_pallas import (
+    decode_attention,
+    decode_attention_quantized,
+)
+from metalchat_tpu.ops.flash_attention_pallas import flash_attention
 from metalchat_tpu.quant.quantize import linear, lookup_embedding
+
+
+def _choose_block(length: int, preferred: int = 256) -> Optional[int]:
+    """Largest kernel block size dividing `length` (None → XLA fallback)."""
+    for candidate in (preferred, 128):
+        if candidate <= length and length % candidate == 0:
+            return candidate
+    return None
 
 Params = Dict[str, Any]
 Cache = Union[KVCache, QuantizedKVCache]
@@ -102,22 +115,50 @@ def _layer_step(
     if quantized_cache:
         ck, cv, sk, sv = update_layer_cache_quantized(*cache_slices, k, v, start_pos)
         new_slices: Tuple[jax.Array, ...] = (ck, cv, sk, sv)
-        keys = dequantize_kv(ck, sk, x.dtype)
-        values = dequantize_kv(cv, sv, x.dtype)
     else:
         ck, cv = update_layer_cache(*cache_slices, k, v, start_pos)
         new_slices = (ck, cv)
-        keys, values = ck, cv
 
-    kv_len = keys.shape[1]
-    valid = start_pos + s
-    mask = ops.causal_mask(positions, kv_len, valid)
-    if config.sliding_window is not None:
-        sliding = ops.causal_mask(positions, kv_len, valid, config.sliding_window)
-        mask = jnp.where(is_global, mask, sliding)
-
+    kv_len = ck.shape[2]
     scale = config.query_scale if config.query_scale is not None else hd**-0.5
-    attn = ops.attention(q, keys, values, mask, scale=scale)
+
+    # Per-layer dynamic window: -1 = global (selected inside the scan).
+    window = None
+    if config.sliding_window is not None:
+        window = jnp.where(is_global, -1, config.sliding_window)
+
+    block_t = _choose_block(kv_len)
+    if use_pallas() and s == 1 and block_t is not None:
+        # Fused decode attention; the quantized variant reads int8 KV directly.
+        lengths = jnp.broadcast_to(start_pos + 1, (b,))
+        if quantized_cache:
+            attn = decode_attention_quantized(
+                q[:, 0], ck, cv, sk, sv, lengths, scale=scale, window=window,
+                block_t=block_t,
+            )[:, None]
+        else:
+            attn = decode_attention(
+                q[:, 0], ck, cv, lengths, scale=scale, window=window, block_t=block_t,
+            )[:, None]
+    else:
+        if quantized_cache:
+            keys = dequantize_kv(ck, sk, x.dtype)
+            values = dequantize_kv(cv, sv, x.dtype)
+        else:
+            keys, values = ck, cv
+        block_q = _choose_block(s)
+        if use_pallas() and s > 1 and block_t is not None and block_q is not None:
+            attn = flash_attention(
+                q, keys, values, start_pos, scale=scale, window=window,
+                block_q=block_q, block_k=block_t,
+            )
+        else:
+            valid = start_pos + s
+            mask = ops.causal_mask(positions, kv_len, valid)
+            if config.sliding_window is not None:
+                sliding = ops.causal_mask(positions, kv_len, valid, config.sliding_window)
+                mask = jnp.where(is_global, mask, sliding)
+            attn = ops.attention(q, keys, values, mask, scale=scale)
     attn = linear(attn.reshape(b, s, nh * hd), layer["wo"])
     if config.use_post_norms:
         attn = ops.rms_norm(attn, layer["post_attn_norm"], eps=eps, offset=mu)

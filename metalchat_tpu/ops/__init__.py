@@ -29,5 +29,12 @@ from metalchat_tpu.ops.xla import (  # noqa: F401
 
 @functools.lru_cache(maxsize=1)
 def use_pallas() -> bool:
-    """True when running on real TPU hardware (Mosaic available)."""
+    """True when running on real TPU hardware (Mosaic available).
+
+    Kill-switch: METALCHAT_TPU_NO_PALLAS=1 forces the XLA reference path
+    (debugging / numerics bisection)."""
+    import os
+
+    if os.environ.get("METALCHAT_TPU_NO_PALLAS"):
+        return False
     return jax.default_backend() not in ("cpu",)

@@ -1,0 +1,218 @@
+"""Pallas decode attention (single-token GQA over a dense KV cache).
+
+Replaces the reference's decode-path chain bmm→scale→mask→softmax→bmm
+(nn/attention.h:161-206) with one kernel: the scores row never exists in
+HBM, the softmax is the online (running max/sum) formulation, and the KV
+cache is read exactly once per step. GQA is exploited MXU-side: all
+`groups = nh/nkv` query heads that share a KV head are batched into one
+[groups, hd] × [hd, block_t] matmul (the reference materializes
+repeat_interleave copies of KV instead — transform.h:80-90).
+
+Layouts (Mosaic block rules: last two block dims must be ÷(8,128) or equal
+to the array dims):
+  q        [B, n_kv, groups, hd]   — heads are kv-major, so the groups for
+                                     kv-head h are one contiguous block
+  k, v     [B, n_kv, T, hd]        — the cache-native head-major layout
+  scales   [B, n_kv, T, 1]         — int8-KV per-position scales
+
+Variants:
+  * bf16 KV — `decode_attention`
+  * int8 KV — `decode_attention_quantized` (dequantization fused; halves
+    cache HBM traffic)
+
+Per-row valid lengths arrive via scalar prefetch, so rows of a continuous
+batch sit at different positions (the engine's per-slot decode). The
+sliding window is also a dynamic scalar (-1 = global), letting Gemma's
+alternating local/global layers share one compiled kernel inside the layer
+scan. Blocks entirely beyond a row's length (or before its window) are
+skipped before their DMA is issued.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _decode_kernel(
+    lengths_ref,   # SMEM [B]
+    window_ref,    # SMEM [1] — sliding window, -1 = global attention
+    q_ref,         # [1, 1, groups, hd]
+    k_ref,         # [1, 1, block_t, hd]
+    v_ref,
+    o_ref,         # [1, 1, groups, hd]
+    m_ref,         # VMEM [groups, LANES]
+    l_ref,
+    acc_ref,       # VMEM [groups, hd]
+    *,
+    block_t: int,
+    scale: float,
+    quantized: bool,
+    k_scale_ref=None,  # [1, 1, block_t, 1]
+    v_scale_ref=None,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    length = lengths_ref[b]
+    window = window_ref[0]
+    is_global = window < 0
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    start = t * block_t
+    in_range = start < length
+    in_range &= is_global | (start + block_t > length - 1 - window)
+
+    @pl.when(in_range)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)        # [groups, hd]
+        k = k_ref[0, 0].astype(jnp.float32)        # [block_t, hd]
+        if quantized:
+            k = k * k_scale_ref[0, 0].astype(jnp.float32)  # [block_t, 1] bcast
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                  # [groups, block_t]
+
+        kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ok = kv_pos < length
+        ok &= is_global | (kv_pos > length - 1 - window)
+        s = jnp.where(ok, s, MASK_VALUE)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)                    # [groups, block_t]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        v = v_ref[0, 0].astype(jnp.float32)
+        if quantized:
+            v = v * v_scale_ref[0, 0].astype(jnp.float32)
+        o_curr = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + o_curr
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
+def decode_attention(
+    q: jax.Array,        # [B, nh, hd]
+    k: jax.Array,        # [B, n_kv, T, hd]
+    v: jax.Array,
+    lengths: jax.Array,  # [B] int32 — valid cache lengths (q is at length-1)
+    *,
+    scale: float,
+    window=None,         # sliding window (dynamic scalar ok); None = global
+    block_t: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    return _decode_call(q, k, v, None, None, lengths, scale=scale, window=window,
+                        block_t=block_t, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
+def decode_attention_quantized(
+    q: jax.Array,
+    k: jax.Array,          # int8 [B, n_kv, T, hd]
+    v: jax.Array,
+    k_scale: jax.Array,    # f32 [B, n_kv, T, 1]
+    v_scale: jax.Array,
+    lengths: jax.Array,
+    *,
+    scale: float,
+    window=None,
+    block_t: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    return _decode_call(q, k, v, k_scale, v_scale, lengths, scale=scale,
+                        window=window, block_t=block_t, interpret=interpret)
+
+
+def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret):
+    b, nh, hd = q.shape
+    _, nkv, t_max, _ = k.shape
+    groups = nh // nkv
+    block_t = min(block_t, t_max)
+    assert t_max % block_t == 0, (t_max, block_t)
+    quantized = ks is not None
+
+    grid = (b, nkv, t_max // block_t)
+    # Heads are kv-major: head index = kv_head * groups + g.
+    q4 = q.reshape(b, nkv, groups, hd)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
+        pl.BlockSpec((1, 1, block_t, hd), lambda bb, h, tt, *_: (bb, h, tt, 0)),
+        pl.BlockSpec((1, 1, block_t, hd), lambda bb, h, tt, *_: (bb, h, tt, 0)),
+    ]
+    args = [q4, k, v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_t, 1), lambda bb, h, tt, *_: (bb, h, tt, 0)),
+            pl.BlockSpec((1, 1, block_t, 1), lambda bb, h, tt, *_: (bb, h, tt, 0)),
+        ]
+        args += [ks, vs]
+
+    if window is None:
+        window_arr = jnp.full((1,), -1, jnp.int32)
+    else:  # python int or traced scalar (per-layer value inside a scan)
+        window_arr = jnp.asarray(window, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _decode_kernel_dispatch, block_t=block_t, scale=scale, quantized=quantized
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, groups, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((groups, LANES), jnp.float32),
+                pltpu.VMEM((groups, LANES), jnp.float32),
+                pltpu.VMEM((groups, hd), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), window_arr, *args)
+    return out.reshape(b, nh, hd)
+
+
+def _decode_kernel_dispatch(lengths_ref, window_ref, *refs, block_t, scale, quantized):
+    if quantized:
+        q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        _decode_kernel(
+            lengths_ref, window_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            block_t=block_t, scale=scale, quantized=True,
+            k_scale_ref=ks_ref, v_scale_ref=vs_ref,
+        )
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        _decode_kernel(
+            lengths_ref, window_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            block_t=block_t, scale=scale, quantized=False,
+        )

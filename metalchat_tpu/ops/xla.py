@@ -116,24 +116,23 @@ def attention(
     grouped einsum (no materialized copy).
 
       q:    [B, S, n_heads, head_dim]
-      k, v: [B, T, n_kv_heads, head_dim]
+      k, v: [B, n_kv_heads, T, head_dim]  (head-major cache layout)
       mask: [B, S, T] or [1, S, T] boolean — True where attention is allowed.
     """
     b, s, n_heads, head_dim = q.shape
-    t = k.shape[1]
-    n_kv = k.shape[2]
+    n_kv, t = k.shape[1], k.shape[2]
     groups = n_heads // n_kv
 
     qg = q.reshape(b, s, n_kv, groups, head_dim)
     # scores: [B, n_kv, groups, S, T], accumulated in f32 on the MXU.
     scores = jnp.einsum(
-        "bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32
+        "bskgd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32
     )
     scores = scores * scale
     scores = jnp.where(mask[:, None, None, :, :], scores, MASK_VALUE)
     weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bkgst,btkd->bskgd",
+        "bkgst,bktd->bskgd",
         weights.astype(v.dtype),
         v,
         preferred_element_type=jnp.float32,

@@ -96,11 +96,11 @@ def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
 
 
 def cache_shardings(mesh: Mesh, quantized: bool = False, num_kv_heads: Optional[int] = None):
-    """KV cache [L, B, S, n_kv, hd]: batch on dp, kv-heads on tp (replicated
+    """KV cache [L, B, n_kv, S, hd]: batch on dp, kv-heads on tp (replicated
     over tp when kv-heads don't divide it — matching param_shardings)."""
     tp = mesh.shape["tp"]
     head_axis = "tp" if (num_kv_heads is None or num_kv_heads % tp == 0) else None
-    kv = NamedSharding(mesh, P(None, "dp", None, head_axis, None))
+    kv = NamedSharding(mesh, P(None, "dp", head_axis, None, None))
     if quantized:
         return QuantizedKVCache(k=kv, v=kv, k_scale=kv, v_scale=kv)
     return KVCache(k=kv, v=kv)
@@ -122,5 +122,5 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
 
 def shard_cache(cache, mesh: Mesh):
     quantized = isinstance(cache, QuantizedKVCache)
-    num_kv = cache.k.shape[3]
+    num_kv = cache.k.shape[2]
     return jax.device_put(cache, cache_shardings(mesh, quantized, num_kv))

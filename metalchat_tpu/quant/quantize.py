@@ -76,9 +76,16 @@ class LoraLinear:
 
 
 def _pack_int4(w4: np.ndarray) -> np.ndarray:
-    """Pack int4 values [-8, 7] along the in axis, two per byte."""
-    lo = w4[..., 0::2, :] & 0x0F
-    hi = (w4[..., 1::2, :] & 0x0F) << 4
+    """Pack int4 values [-8, 7] along the in axis, two per byte, **half-split**:
+    byte row r holds w[r] (low nibble) and w[r + in//2] (high nibble).
+
+    Half-split (vs. adjacent-pair packing) is chosen for the Pallas kernel:
+    unpacking is two shifts + two half-size matmuls with no sublane
+    interleave/relayout on the TPU (ops/quant_matmul_pallas.py).
+    """
+    half = w4.shape[-2] // 2
+    lo = w4[..., :half, :] & 0x0F
+    hi = (w4[..., half:, :] & 0x0F) << 4
     return (lo | hi).astype(np.int8)
 
 
@@ -87,9 +94,7 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
     lo = jnp.left_shift(packed, 4)
     lo = jnp.right_shift(lo, 4)  # arithmetic: sign-extends the low nibble
     hi = jnp.right_shift(packed, 4)
-    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in//2, 2, out]
-    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
-    return stacked.reshape(shape)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def quantize(
@@ -105,6 +110,11 @@ def quantize(
     in_features, out_features = w.shape[-2:]
     if in_features % group_size:
         raise ValueError(f"in_features={in_features} not divisible by group={group_size}")
+    if bits == 4 and (in_features // 2) % group_size:
+        raise ValueError(
+            f"int4 needs in_features/2 divisible by group={group_size} "
+            f"(half-split packing must not straddle groups), got {in_features}"
+        )
     g = w.reshape(*w.shape[:-2], in_features // group_size, group_size, out_features)
     qmax = 127.0 if bits == 8 else 7.0
     absmax = np.abs(g).max(axis=-2, keepdims=True)
@@ -161,8 +171,29 @@ def linear(x: jax.Array, w) -> jax.Array:
         adapt = (x @ w.a) @ w.b
         return y + adapt * jnp.asarray(w.scale, y.dtype)
     if isinstance(w, QuantizedTensor):
-        return quant_matmul(x, w)
+        out = _maybe_pallas(x, w)
+        return out if out is not None else quant_matmul(x, w)
     return x @ w
+
+
+def _maybe_pallas(x: jax.Array, qt: QuantizedTensor):
+    """Route decode-shaped quantized matmuls to the fused Pallas kernel."""
+    from metalchat_tpu.ops import use_pallas
+    from metalchat_tpu.ops.quant_matmul_pallas import choose_block_out, quant_matmul_pallas
+
+    if not use_pallas() or qt.q.ndim != 2:
+        return None
+    lead = int(np.prod(x.shape[:-1]))
+    if lead > 32:  # prefill: MXU-bound, the einsum path is fine
+        return None
+    block_out = choose_block_out(qt.out_features)
+    if block_out is None or qt.in_features % 256:
+        return None
+    out = quant_matmul_pallas(
+        x.reshape(lead, -1), qt.q, qt.scales,
+        bits=qt.bits, group_size=qt.group_size, block_out=block_out,
+    )
+    return out.reshape(*x.shape[:-1], qt.out_features)
 
 
 def lookup_embedding(tokens: jax.Array, embed) -> jax.Array:
@@ -178,11 +209,66 @@ def lookup_embedding(tokens: jax.Array, embed) -> jax.Array:
         if embed.bits == 4:
             lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
             hi = jnp.right_shift(q, 4)
-            q = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], q.shape[-1] * 2)
+            q = jnp.concatenate([lo, hi], axis=-1)  # half-split along H
         s = embed.scales[tokens]  # [..., H/group]
         grouped = q.reshape(*q.shape[:-1], s.shape[-1], -1).astype(jnp.float32)
         return (grouped * s[..., None].astype(jnp.float32)).reshape(q.shape)
     return embed[tokens]
+
+
+def init_random_quantized_params(
+    config,
+    *,
+    bits: int = 4,
+    group_size: int = 32,
+    seed: int = 0,
+    scales_dtype=jnp.bfloat16,
+    max_seq_len: Optional[int] = None,
+):
+    """Directly initialize a random *quantized* parameter tree on device.
+
+    Benchmarks at 8B/70B scale can't afford materializing fp weights first;
+    random packed bytes + small positive scales have the same memory layout
+    and arithmetic cost as real quantized checkpoints.
+    """
+    from metalchat_tpu.models.transformer import make_rope_tables
+
+    key = jax.random.PRNGKey(seed)
+    h, f = config.hidden_size, config.intermediate_size
+    nh, nkv, hd, L = (config.num_heads, config.num_kv_heads, config.head_dim,
+                      config.num_layers)
+    pack = 2 if bits == 4 else 1
+
+    def qlin(k, in_f, out_f, stack=True):
+        k1, k2 = jax.random.split(k)
+        lead = (L,) if stack else ()
+        q = jax.random.randint(k1, lead + (in_f // pack, out_f), -127, 128, jnp.int8)
+        s = (jax.random.uniform(k2, lead + (in_f // group_size, out_f)) * 0.01 + 0.001)
+        return QuantizedTensor(q=q, scales=s.astype(scales_dtype), bits=bits,
+                               group_size=group_size)
+
+    keys = iter(jax.random.split(key, 12))
+    layers = {
+        "attn_norm": jnp.ones((L, h), jnp.bfloat16),
+        "ffn_norm": jnp.ones((L, h), jnp.bfloat16),
+        "wq": qlin(next(keys), h, nh * hd),
+        "wk": qlin(next(keys), h, nkv * hd),
+        "wv": qlin(next(keys), h, nkv * hd),
+        "wo": qlin(next(keys), nh * hd, h),
+        "w1": qlin(next(keys), h, f),
+        "w3": qlin(next(keys), h, f),
+        "w2": qlin(next(keys), f, h),
+    }
+    embed = (jax.random.normal(next(keys), (config.vocab_size, h)) * 0.02).astype(
+        jnp.bfloat16
+    )
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.ones((h,), jnp.bfloat16),
+        "lm_head": qlin(next(keys), h, config.vocab_size, stack=False),
+        "rope": make_rope_tables(config, max_seq_len),
+    }
 
 
 # -- parameter-tree surgery -------------------------------------------------

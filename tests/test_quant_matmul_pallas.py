@@ -1,0 +1,48 @@
+"""Pallas fused dequant-matmul vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from metalchat_tpu.quant import quantize, dequantize
+from metalchat_tpu.quant.quantize import _pack_int4, _unpack_int4
+from metalchat_tpu.ops.quant_matmul_pallas import choose_block_out, quant_matmul_pallas
+
+
+def _w(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+def test_halfsplit_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    w4 = rng.integers(-8, 8, (64, 16)).astype(np.int8)
+    packed = _pack_int4(w4)
+    assert packed.shape == (32, 16)
+    lo = (packed << 4).astype(np.int8) >> 4
+    hi = packed.astype(np.int8) >> 4
+    np.testing.assert_array_equal(np.concatenate([lo, hi], axis=0), w4)
+    np.testing.assert_array_equal(np.asarray(_unpack_int4(jnp.asarray(packed))), w4)
+
+
+def test_choose_block_out():
+    assert choose_block_out(8192) == 512
+    assert choose_block_out(640) == 128
+    assert choose_block_out(100) is None
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("b", [1, 8])
+def test_quant_matmul_pallas_matches_xla(bits, b):
+    in_f, out_f, g = 256, 256, 32
+    w = _w((in_f, out_f), seed=2)
+    qt = quantize(w, bits=bits, group_size=g)
+    x = jnp.asarray(_w((b, in_f), seed=3))
+
+    expect = np.asarray(x @ dequantize(qt, jnp.float32))
+    got = np.asarray(
+        quant_matmul_pallas(
+            x, qt.q, qt.scales, bits=bits, group_size=g, block_out=128, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
