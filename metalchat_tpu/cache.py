@@ -68,6 +68,24 @@ class KVCache:
         return dataclasses.replace(self, **kw)
 
 
+def _write_rows(cache: jax.Array, new: jax.Array, start_pos: jax.Array) -> jax.Array:
+    """dynamic_update_slice at a shared scalar or per-row offset.
+
+    cache [B, n_kv, S_max, ...]; new [B, n_kv, S, ...]; start_pos scalar or [B]
+    (per-row offsets are the continuous-batching engine's slot positions).
+    """
+    start_pos = jnp.asarray(start_pos, jnp.int32)
+    if start_pos.ndim == 0:
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(cache, new, (zero, zero, start_pos, zero))
+
+    def one(row_cache, row_new, pos):
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(row_cache, row_new, (zero, pos, zero))
+
+    return jax.vmap(one)(cache, new, start_pos)
+
+
 def update_layer_cache(
     cache_k: jax.Array,
     cache_v: jax.Array,
@@ -80,16 +98,11 @@ def update_layer_cache(
     cache_k/v: [B, n_kv, S_max, head_dim]; k/v arrive model-natural as
     [B, S, n_kv, head_dim] and are transposed head-major here. The analog of
     the reference's clone-kernel cache write (cache.h:133-151), but in-place
-    via donation instead of a copy kernel.
+    via donation instead of a copy kernel. `start_pos` may be per-row [B].
     """
-    zero = jnp.zeros((), jnp.int32)
-    idx = (zero, zero, jnp.asarray(start_pos, jnp.int32), zero)
     k = jnp.swapaxes(k, 1, 2).astype(cache_k.dtype)
     v = jnp.swapaxes(v, 1, 2).astype(cache_v.dtype)
-    return (
-        jax.lax.dynamic_update_slice(cache_k, k, idx),
-        jax.lax.dynamic_update_slice(cache_v, v, idx),
-    )
+    return _write_rows(cache_k, k, start_pos), _write_rows(cache_v, v, start_pos)
 
 
 @jax.tree_util.register_dataclass
@@ -160,16 +173,14 @@ def update_layer_cache_quantized(
     start_pos: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Quantize new K/V (arriving [B, S, n_kv, hd]) and write head-major
-    payload + scales at start_pos."""
+    payload + scales at start_pos (scalar or per-row [B])."""
     qk, sk = quantize_kv(jnp.swapaxes(k, 1, 2))
     qv, sv = quantize_kv(jnp.swapaxes(v, 1, 2))
-    zero = jnp.zeros((), jnp.int32)
-    idx = (zero, zero, jnp.asarray(start_pos, jnp.int32), zero)
     return (
-        jax.lax.dynamic_update_slice(cache_k, qk, idx),
-        jax.lax.dynamic_update_slice(cache_v, qv, idx),
-        jax.lax.dynamic_update_slice(k_scale, sk, idx),
-        jax.lax.dynamic_update_slice(v_scale, sv, idx),
+        _write_rows(cache_k, qk, start_pos),
+        _write_rows(cache_v, qv, start_pos),
+        _write_rows(k_scale, sk, start_pos),
+        _write_rows(v_scale, sv, start_pos),
     )
 
 

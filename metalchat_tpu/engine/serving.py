@@ -1,0 +1,276 @@
+"""Continuous-batching serving engine.
+
+The TPU re-design of the reference's single-request interpreter loop
+(interpreter.h:358-374; the reference hard-codes max_batch_size=1,
+nn/llama.h:87): a slot-based scheduler that mixes prefill and decode —
+
+  * the KV cache holds `max_slots` independent sequences; each request is
+    assigned a slot, prefilled in chunks (flash-attention path), then joins
+    the batched decode step;
+  * one jitted decode step advances *all* active slots with per-row
+    positions, per-row EOS state, and per-request sampler settings
+    (`sampling.sample_batched` — dynamic temperature/top-k/top-p per row);
+  * slot-level failure containment: a request failing validation is completed
+    with an error without touching other slots (SURVEY.md §5 failure
+    detection → TPU design);
+  * per-request metrics: TTFT and decode tokens/s (absent in the reference —
+    SURVEY.md §5 tracing/metrics).
+
+This is the dense-slot engine; each slot owns a contiguous cache stripe.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Deque, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.config import ModelConfig
+from metalchat_tpu.models.transformer import Cache, Params, forward
+from metalchat_tpu.sampling import SamplerConfig, sample_batched
+
+
+@dataclass
+class Request:
+    prompt: Sequence[int]
+    max_new_tokens: int = 128
+    sampler: SamplerConfig = SamplerConfig.greedy()
+    eos_ids: Tuple[int, ...] = ()
+    request_id: Optional[int] = None
+
+
+@dataclass
+class Completion:
+    request_id: int
+    tokens: List[int] = field(default_factory=list)
+    finished: bool = False
+    finish_reason: str = ""
+    error: Optional[str] = None
+    # metrics
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+    @property
+    def ttft(self) -> Optional[float]:
+        if self.first_token_at is None:
+            return None
+        return self.first_token_at - self.submitted_at
+
+    @property
+    def decode_tokens_per_sec(self) -> Optional[float]:
+        if self.finished_at is None or self.first_token_at is None:
+            return None
+        dt = self.finished_at - self.first_token_at
+        n = len(self.tokens) - 1
+        return n / dt if dt > 0 and n > 0 else None
+
+
+@dataclass
+class _Slot:
+    request: Request
+    completion: Completion
+    pos: int = 0                 # prefilled/generated length in the cache
+    prefill_cursor: int = 0      # how much of the prompt is consumed
+    last_token: int = 0          # token to feed at the next decode step
+    decoding: bool = False
+
+
+class ContinuousBatchingEngine:
+    def __init__(
+        self,
+        params: Params,
+        config: ModelConfig,
+        *,
+        max_slots: int = 8,
+        max_seq_len: Optional[int] = None,
+        quantized_kv: bool = False,
+        prefill_chunk: int = 256,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.config = config
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len or config.max_seq_len
+        self.prefill_chunk = prefill_chunk
+        if quantized_kv:
+            self.cache: Cache = QuantizedKVCache.create(config, max_slots, self.max_seq_len)
+        else:
+            # KV dtype follows the activation dtype (params' final norm).
+            self.cache = KVCache.create(
+                config, max_slots, self.max_seq_len, dtype=params["final_norm"].dtype
+            )
+        self._key = jax.random.PRNGKey(seed)
+        self._queue: Deque[Request] = deque()
+        self._slots: Dict[int, _Slot] = {}
+        self._free: List[int] = list(range(max_slots))
+        self._ids = itertools.count()
+        self._completions: Dict[int, Completion] = {}
+
+        cfg = config
+
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
+        def prefill_step(params, cache, tokens, start_pos, slot: int):
+            """Run one prompt chunk for a single slot (B=1 sub-cache view)."""
+            sub = jax.tree.map(lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, 1), cache)
+            logits, sub = forward(params, sub, tokens, start_pos, cfg)
+            cache = jax.tree.map(
+                lambda full, part: jax.lax.dynamic_update_slice_in_dim(full, part, slot, 1),
+                cache, sub,
+            )
+            return logits[:, -1], cache
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, cache, tokens, positions, key, temps, ks, ps):
+            logits, cache = forward(params, cache, tokens[:, None], positions, cfg)
+            next_tokens = sample_batched(logits[:, 0], key, temps, ks, ps)
+            return next_tokens, cache
+
+        self._prefill_step = prefill_step
+        self._decode_step = decode_step
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, request: Request) -> int:
+        rid = request.request_id if request.request_id is not None else next(self._ids)
+        request.request_id = rid
+        completion = Completion(request_id=rid, submitted_at=time.perf_counter())
+        self._completions[rid] = completion
+        if not request.prompt:
+            completion.finished = True
+            completion.error = "empty prompt"
+            completion.finish_reason = "error"
+            return rid
+        if len(request.prompt) + request.max_new_tokens > self.max_seq_len:
+            completion.finished = True
+            completion.error = (
+                f"prompt+max_new_tokens exceeds max_seq_len={self.max_seq_len}"
+            )
+            completion.finish_reason = "error"
+            return rid
+        self._queue.append(request)
+        return rid
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self._queue or self._slots)
+
+    def step(self) -> List[Tuple[int, int]]:
+        """Advance the engine one scheduling step.
+
+        Prefill-priority scheduling (one chunk per step keeps decode latency
+        bounded); otherwise one batched decode step. Returns newly emitted
+        (request_id, token) pairs.
+        """
+        if self._queue and self._free:
+            self._admit(self._queue.popleft())
+            return []
+        for slot_id, slot in self._slots.items():
+            if not slot.decoding:
+                return self._prefill_one(slot_id, slot)
+        if any(s.decoding for s in self._slots.values()):
+            return self._decode_all()
+        return []
+
+    def run(self, requests: Sequence[Request]) -> Dict[int, Completion]:
+        ids = [self.submit(r) for r in requests]
+        while self.has_work:
+            self.step()
+        return {rid: self._completions[rid] for rid in ids}
+
+    def completion(self, request_id: int) -> Completion:
+        return self._completions[request_id]
+
+    # -- internals ---------------------------------------------------------
+
+    def _admit(self, request: Request) -> None:
+        slot_id = self._free.pop()
+        self._slots[slot_id] = _Slot(
+            request=request, completion=self._completions[request.request_id]
+        )
+
+    def _prefill_one(self, slot_id: int, slot: _Slot) -> List[Tuple[int, int]]:
+        prompt = list(slot.request.prompt)
+        chunk = prompt[slot.prefill_cursor : slot.prefill_cursor + self.prefill_chunk]
+        tokens = jnp.asarray(chunk, jnp.int32)[None, :]
+        logits, self.cache = self._prefill_step(
+            self.params, self.cache, tokens, slot.pos, slot=slot_id
+        )
+        slot.pos += len(chunk)
+        slot.prefill_cursor += len(chunk)
+        if slot.prefill_cursor >= len(prompt):
+            # Sample the first generated token from the last prefill logits.
+            self._key, sub = jax.random.split(self._key)
+            cfg = slot.request.sampler
+            token = int(
+                sample_batched(
+                    logits,
+                    sub,
+                    jnp.asarray([cfg.temperature], jnp.float32),
+                    jnp.asarray([cfg.top_k], jnp.int32),
+                    jnp.asarray([cfg.top_p], jnp.float32),
+                )[0]
+            )
+            slot.decoding = True
+            slot.last_token = token
+            return self._emit(slot_id, slot, token)
+        return []
+
+    def _decode_all(self) -> List[Tuple[int, int]]:
+        b = self.max_slots
+        tokens = np.zeros(b, np.int32)
+        positions = np.zeros(b, np.int32)
+        temps = np.zeros(b, np.float32)
+        ks = np.zeros(b, np.int32)
+        ps = np.ones(b, np.float32)
+        active = []
+        for slot_id, slot in self._slots.items():
+            if not slot.decoding:
+                continue
+            active.append(slot_id)
+            tokens[slot_id] = slot.last_token
+            positions[slot_id] = slot.pos
+            temps[slot_id] = slot.request.sampler.temperature
+            ks[slot_id] = slot.request.sampler.top_k
+            ps[slot_id] = slot.request.sampler.top_p
+        self._key, sub = jax.random.split(self._key)
+        next_tokens, self.cache = self._decode_step(
+            self.params, self.cache,
+            jnp.asarray(tokens), jnp.asarray(positions), sub,
+            jnp.asarray(temps), jnp.asarray(ks), jnp.asarray(ps),
+        )
+        next_tokens = np.asarray(next_tokens)
+        emitted: List[Tuple[int, int]] = []
+        for slot_id in active:
+            slot = self._slots[slot_id]
+            slot.pos += 1
+            token = int(next_tokens[slot_id])
+            slot.last_token = token
+            emitted.extend(self._emit(slot_id, slot, token))
+        return emitted
+
+    def _emit(self, slot_id: int, slot: _Slot, token: int) -> List[Tuple[int, int]]:
+        completion = slot.completion
+        now = time.perf_counter()
+        if completion.first_token_at is None:
+            completion.first_token_at = now
+        completion.tokens.append(token)
+        done_eos = token in slot.request.eos_ids
+        done_len = len(completion.tokens) >= slot.request.max_new_tokens
+        if done_eos or done_len or slot.pos + 1 >= self.max_seq_len:
+            completion.finished = True
+            completion.finished_at = now
+            completion.finish_reason = (
+                "eos" if done_eos else ("length" if done_len else "cache_full")
+            )
+            del self._slots[slot_id]
+            self._free.append(slot_id)
+        return [(slot.request.request_id, token)]

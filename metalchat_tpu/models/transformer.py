@@ -88,7 +88,8 @@ def _layer_step(
     config: ModelConfig,
     rope: Dict[str, jax.Array],
     positions: jax.Array,
-    start_pos: jax.Array,
+    offsets: jax.Array,   # [B] per-row start positions
+    start_pos: jax.Array,  # scalar, or [B] when S == 1
     quantized_cache: bool,
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
     b, s, hidden = x.shape
@@ -130,7 +131,7 @@ def _layer_step(
     block_t = _choose_block(kv_len)
     if use_pallas() and s == 1 and block_t is not None:
         # Fused decode attention; the quantized variant reads int8 KV directly.
-        lengths = jnp.broadcast_to(start_pos + 1, (b,))
+        lengths = offsets + 1
         if quantized_cache:
             attn = decode_attention_quantized(
                 q[:, 0], ck, cv, sk, sv, lengths, scale=scale, window=window,
@@ -153,7 +154,7 @@ def _layer_step(
                 block_q=block_q, block_k=block_t,
             )
         else:
-            valid = start_pos + s
+            valid = (offsets + s)[:, None, None]
             mask = ops.causal_mask(positions, kv_len, valid)
             if config.sliding_window is not None:
                 sliding = ops.causal_mask(positions, kv_len, valid, config.sliding_window)
@@ -187,8 +188,10 @@ def forward(
     """
     b, s = tokens.shape
     start_pos = jnp.asarray(start_pos, jnp.int32)
-    positions = start_pos + jnp.arange(s, dtype=jnp.int32)[None, :]
-    positions = jnp.broadcast_to(positions, (b, s))
+    if start_pos.ndim == 1 and s > 1:
+        raise ValueError("per-row start_pos requires S == 1 (decode step)")
+    offsets = start_pos if start_pos.ndim == 1 else jnp.broadcast_to(start_pos, (b,))
+    positions = offsets[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 
     # Activation dtype follows the (always-dense) final norm weight.
     x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
@@ -215,6 +218,7 @@ def forward(
             config=config,
             rope=params["rope"],
             positions=positions,
+            offsets=offsets,
             start_pos=start_pos,
             quantized_cache=quantized,
         )

@@ -179,7 +179,11 @@ def linear(x: jax.Array, w) -> jax.Array:
 def _maybe_pallas(x: jax.Array, qt: QuantizedTensor):
     """Route decode-shaped quantized matmuls to the fused Pallas kernel."""
     from metalchat_tpu.ops import use_pallas
-    from metalchat_tpu.ops.quant_matmul_pallas import choose_block_out, quant_matmul_pallas
+    from metalchat_tpu.ops.quant_matmul_pallas import (
+        choose_block_in,
+        choose_block_out,
+        quant_matmul_pallas,
+    )
 
     if not use_pallas() or qt.q.ndim != 2:
         return None
@@ -187,11 +191,15 @@ def _maybe_pallas(x: jax.Array, qt: QuantizedTensor):
     if lead > 32:  # prefill: MXU-bound, the einsum path is fine
         return None
     block_out = choose_block_out(qt.out_features)
-    if block_out is None or qt.in_features % 256:
+    block_in = choose_block_in(qt.in_features, qt.group_size)
+    if block_out is None or block_in is None:
+        return None
+    if qt.bits == 4 and block_in % (2 * qt.group_size):
         return None
     out = quant_matmul_pallas(
         x.reshape(lead, -1), qt.q, qt.scales,
-        bits=qt.bits, group_size=qt.group_size, block_out=block_out,
+        bits=qt.bits, group_size=qt.group_size,
+        block_out=block_out, block_in=block_in,
     )
     return out.reshape(*x.shape[:-1], qt.out_features)
 

@@ -86,6 +86,45 @@ def sample(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def sample_batched(
+    logits: jax.Array,       # [B, V]
+    key: jax.Array,
+    temperature: jax.Array,  # [B] — <= 0 means greedy for that row
+    top_k: jax.Array,        # [B] int32 — 0 disables
+    top_p: jax.Array,        # [B] — >= 1 disables
+) -> jax.Array:
+    """Per-row sampling with *dynamic* per-request parameters.
+
+    The continuous-batching engine mixes requests with different sampler
+    settings in one decode step; everything is computed from one descending
+    sort per row (top-k via rank threshold, top-p via exclusive cumsum) —
+    fully on device, no per-request dispatch.
+    """
+    b, v = logits.shape
+    logits = logits.astype(jnp.float32)
+    greedy = temperature <= 0.0
+    safe_t = jnp.where(greedy, 1.0, temperature)[:, None]
+    scaled = logits / safe_t
+
+    sorted_logits = jnp.sort(scaled, axis=-1, descending=True)
+    ranks = jnp.argsort(jnp.argsort(scaled, axis=-1, descending=True), axis=-1)
+
+    # top-k: keep ranks < k (k<=0 → keep all)
+    k = jnp.where(top_k <= 0, v, top_k)[:, None]
+    keep = ranks < k
+
+    # top-p over the sorted distribution
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    keep_sorted = exclusive < jnp.minimum(top_p, 1.0)[:, None]
+    n_keep = jnp.maximum(jnp.sum(keep_sorted, axis=-1, keepdims=True), 1)
+    keep &= ranks < n_keep
+
+    masked = jnp.where(keep, scaled, _NEG)
+    drawn = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy, jnp.argmax(logits, axis=-1).astype(jnp.int32), drawn)
+
+
 def multinomial(probs: jax.Array, key: jax.Array) -> jax.Array:
     """Inverse-CDF multinomial over probabilities (reference:
     kernel/multinomial.metal:17-123 binary-search sampler). Provided for

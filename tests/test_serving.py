@@ -1,0 +1,133 @@
+"""Continuous-batching engine tests (mixed prefill+decode, per-request
+samplers, slot recycling, metrics) — BASELINE config 4 semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from metalchat_tpu.engine import generate
+from metalchat_tpu.engine.serving import ContinuousBatchingEngine, Request
+from metalchat_tpu.cache import KVCache
+from metalchat_tpu.models import init_random_params
+from metalchat_tpu.sampling import SamplerConfig, sample_batched
+
+from test_model import TINY_LLAMA
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = TINY_LLAMA.replace(max_seq_len=64)
+    params = init_random_params(cfg, seed=31, dtype=jnp.float32)
+    return cfg, params
+
+
+def _reference_greedy(cfg, params, prompt, n):
+    cache = KVCache.create(cfg, 1, 64, dtype=jnp.float32)
+    out = generate(params, cfg, jnp.asarray([prompt], jnp.int32),
+                   max_new_tokens=n, cache=cache)
+    return np.asarray(out)[0].tolist()
+
+
+def test_single_request_matches_generate(model):
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64)
+    prompt = [5, 9, 23, 42]
+    out = engine.run([Request(prompt=prompt, max_new_tokens=6)])
+    completion = list(out.values())[0]
+    assert completion.finished and completion.finish_reason == "length"
+    assert completion.tokens == _reference_greedy(cfg, params, prompt, 6)
+    assert completion.ttft is not None and completion.ttft >= 0
+
+
+def test_batched_requests_match_solo(model):
+    """Requests decoded concurrently in different slots must equal solo runs."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=4, max_seq_len=64)
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [4, 4], [11, 12, 13, 14, 15]]
+    reqs = [Request(prompt=p, max_new_tokens=5) for p in prompts]
+    out = engine.run(reqs)
+    for req, p in zip(reqs, prompts):
+        expect = _reference_greedy(cfg, params, p, 5)
+        assert out[req.request_id].tokens == expect, p
+
+
+def test_more_requests_than_slots(model):
+    """Queueing + slot recycling: 6 requests through 2 slots."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64)
+    prompts = [[i + 1, i + 2, i + 3] for i in range(6)]
+    reqs = [Request(prompt=p, max_new_tokens=4) for p in prompts]
+    out = engine.run(reqs)
+    assert len(out) == 6
+    for req, p in zip(reqs, prompts):
+        assert out[req.request_id].tokens == _reference_greedy(cfg, params, p, 4)
+
+
+def test_chunked_prefill(model):
+    """Long prompt prefilled in small chunks gives identical decode."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=1, max_seq_len=64,
+                                      prefill_chunk=4)
+    prompt = list(range(1, 21))  # 20 tokens → 5 chunks
+    out = engine.run([Request(prompt=prompt, max_new_tokens=4)])
+    completion = list(out.values())[0]
+    assert completion.tokens == _reference_greedy(cfg, params, prompt, 4)
+
+
+def test_eos_stops_request(model):
+    cfg, params = model
+    prompt = [5, 9, 23, 42]
+    expect = _reference_greedy(cfg, params, prompt, 8)
+    eos = expect[3]
+    first = expect.index(eos)
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64)
+    out = engine.run([Request(prompt=prompt, max_new_tokens=8, eos_ids=(eos,))])
+    completion = list(out.values())[0]
+    assert completion.finish_reason == "eos"
+    assert completion.tokens == expect[: first + 1]
+
+
+def test_request_validation_contained(model):
+    """Bad requests fail alone; good ones complete (slot-level containment)."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64)
+    good = Request(prompt=[1, 2, 3], max_new_tokens=3)
+    bad_empty = Request(prompt=[], max_new_tokens=3)
+    bad_long = Request(prompt=list(range(80)), max_new_tokens=10)
+    out = engine.run([good, bad_empty, bad_long])
+    assert out[bad_empty.request_id].error == "empty prompt"
+    assert "max_seq_len" in out[bad_long.request_id].error
+    assert out[good.request_id].tokens == _reference_greedy(cfg, params, [1, 2, 3], 3)
+
+
+def test_mixed_samplers_per_row(model):
+    """Greedy and stochastic requests coexist in one decode batch."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=3, max_seq_len=64)
+    greedy = Request(prompt=[5, 9, 23, 42], max_new_tokens=5)
+    hot = Request(prompt=[5, 9, 23, 42], max_new_tokens=5,
+                  sampler=SamplerConfig(temperature=1.5, top_k=0, top_p=1.0))
+    out = engine.run([greedy, hot])
+    assert out[greedy.request_id].tokens == _reference_greedy(cfg, params, [5, 9, 23, 42], 5)
+    assert len(out[hot.request_id].tokens) == 5
+
+
+def test_sample_batched_semantics():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((3, 40)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    out = np.asarray(
+        sample_batched(
+            logits, key,
+            jnp.asarray([0.0, 1.0, 0.0]),        # rows 0,2 greedy
+            jnp.asarray([0, 5, 0], jnp.int32),
+            jnp.asarray([1.0, 0.9, 1.0]),
+        )
+    )
+    expect = np.asarray(logits).argmax(-1)
+    assert out[0] == expect[0] and out[2] == expect[2]
+    # row 1: top-5 restriction must hold
+    top5 = set(np.asarray(logits)[1].argsort()[-5:])
+    assert out[1] in top5
