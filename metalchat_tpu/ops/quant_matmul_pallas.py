@@ -134,7 +134,7 @@ def quant_matmul_pallas(
         cost_estimate=cost,
         interpret=interpret,
     )
-    out_spec = pl.BlockSpec((b, block_out), lambda j, k: (j, 0))
+    out_spec = pl.BlockSpec((b, block_out), lambda j, k: (0, j))
     grid = (out_features // block_out, n_in)
     scratch = [pltpu.VMEM((b, block_out), jnp.float32)]
 

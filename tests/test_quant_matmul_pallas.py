@@ -45,4 +45,16 @@ def test_quant_matmul_pallas_matches_xla(bits, b):
             x, qt.q, qt.scales, bits=bits, group_size=g, block_out=128, interpret=True
         )
     )
-    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+    # The kernel dequantizes to bf16 for the MXU (int values exact; the
+    # scale multiply rounds) — compare within the bf16 envelope.
+    rel = np.abs(got - expect).max() / np.abs(expect).max()
+    assert rel < 0.01, rel
+
+    # Reduction tiling must not change results beyond reassociation noise.
+    tiled = np.asarray(
+        quant_matmul_pallas(
+            x, qt.q, qt.scales, bits=bits, group_size=g, block_out=128,
+            block_in=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(tiled, got, rtol=1e-5, atol=1e-4)
