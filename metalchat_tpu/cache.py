@@ -200,3 +200,114 @@ def sink_positions(
     ring = cache_len - num_sink
     wrapped = num_sink + (logical - num_sink) % ring
     return jnp.where(logical < cache_len, logical, wrapped)
+
+
+# ---------------------------------------------------------------- paged KV
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PagedKVCache:
+    """INT8 paged KV pages + page table (leaves stacked over layers)."""
+
+    k_pages: jax.Array    # int8 [L, n_kv, num_pages, page_size, hd]
+    v_pages: jax.Array
+    k_scale: jax.Array    # f32  [L, n_kv, num_pages, page_size, 1]
+    v_scale: jax.Array
+    page_table: jax.Array  # int32 [B, max_pages_per_seq]
+    lengths: jax.Array     # int32 [B] — logical sequence lengths
+
+    @classmethod
+    def create(
+        cls,
+        config: ModelConfig,
+        *,
+        num_pages: int,
+        page_size: int = 128,
+        max_slots: int = 8,
+        max_pages_per_seq: Optional[int] = None,
+    ) -> "PagedKVCache":
+        mps = max_pages_per_seq or (config.max_seq_len // page_size)
+        shape = (config.num_layers, config.num_kv_heads, num_pages, page_size,
+                 config.head_dim)
+        return cls(
+            k_pages=jnp.zeros(shape, jnp.int8),
+            v_pages=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            page_table=jnp.zeros((max_slots, mps), jnp.int32),
+            lengths=jnp.zeros((max_slots,), jnp.int32),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def max_slots(self) -> int:
+        return self.page_table.shape[0]
+
+    @property
+    def max_pages_per_seq(self) -> int:
+        return self.page_table.shape[1]
+
+    def replace(self, **kw) -> "PagedKVCache":
+        return dataclasses.replace(self, **kw)
+
+
+def write_paged_layer(
+    k_pages: jax.Array,   # [n_kv, P, psize, hd] int8
+    v_pages: jax.Array,
+    k_scale: jax.Array,   # [n_kv, P, psize, 1]
+    v_scale: jax.Array,
+    k_new: jax.Array,     # [B, S, n_kv, hd] (bf16/f32 — quantized here)
+    v_new: jax.Array,
+    pages: jax.Array,     # int32 [B, S] physical page per new position
+    offsets: jax.Array,   # int32 [B, S] offset within the page
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Quantize + scatter new K/V into their pages (one layer)."""
+    qk, sk = quantize_kv(k_new)   # [B, S, n_kv, hd], [B, S, n_kv, 1]
+    qv, sv = quantize_kv(v_new)
+    b, s = pages.shape
+    flat_pages = pages.reshape(-1)
+    flat_offs = offsets.reshape(-1)
+    # Values indexed [n_kv, B*S, ...] to align with (axis1, axis2) indexers.
+    def put(pages_arr, vals):
+        vals = jnp.swapaxes(vals.reshape(b * s, vals.shape[2], vals.shape[3]), 0, 1)
+        return pages_arr.at[:, flat_pages, flat_offs].set(
+            vals.astype(pages_arr.dtype), mode="drop"
+        )
+
+    return (
+        put(k_pages, qk), put(v_pages, qv),
+        put(k_scale, sk.astype(jnp.float32)), put(v_scale, sv.astype(jnp.float32)),
+    )
+
+
+def gather_pages_dense(
+    pages: jax.Array,       # [n_kv, P, psize, X]
+    page_table: jax.Array,  # [B, max_pages]
+) -> jax.Array:
+    """Dense gather of each sequence's pages → [B, n_kv, max_pages*psize, X]
+    (the XLA/test fallback path; the Pallas kernel never materializes this).
+
+    Sentinel (out-of-range) page-table entries are clamped — NOT filled with
+    NaN (jnp.take's default), which would poison masked attention through
+    0·NaN — the garbage rows are masked by length instead."""
+    gathered = jnp.take(pages, page_table, axis=1, mode="clip")  # [n_kv, B, mp, psize, X]
+    n_kv, b, mp, psize, x = gathered.shape
+    return jnp.transpose(gathered, (1, 0, 2, 3, 4)).reshape(b, n_kv, mp * psize, x)
+
+
+def positions_to_pages(
+    page_table: jax.Array,  # [B, max_pages]
+    positions: jax.Array,   # [B, S] logical positions
+    page_size: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """(physical page, in-page offset) for logical positions."""
+    idx = positions // page_size
+    pages = jnp.take_along_axis(page_table, idx, axis=1)
+    return pages, positions % page_size

@@ -32,8 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.cache import KVCache, PagedKVCache, QuantizedKVCache
 from metalchat_tpu.config import ModelConfig
+from metalchat_tpu.engine.paged import PageAllocator
 from metalchat_tpu.models.transformer import Cache, Params, forward
 from metalchat_tpu.sampling import SamplerConfig, sample_batched
 
@@ -82,6 +83,7 @@ class _Slot:
     prefill_cursor: int = 0      # how much of the prompt is consumed
     last_token: int = 0          # token to feed at the next decode step
     decoding: bool = False
+    pages: List[int] = field(default_factory=list)  # paged mode
 
 
 class ContinuousBatchingEngine:
@@ -94,6 +96,9 @@ class ContinuousBatchingEngine:
         max_seq_len: Optional[int] = None,
         quantized_kv: bool = False,
         prefill_chunk: int = 256,
+        cache_mode: str = "dense",        # "dense" | "paged"
+        page_size: int = 128,
+        num_pages: Optional[int] = None,
         seed: int = 0,
     ):
         self.params = params
@@ -101,8 +106,20 @@ class ContinuousBatchingEngine:
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or config.max_seq_len
         self.prefill_chunk = prefill_chunk
-        if quantized_kv:
-            self.cache: Cache = QuantizedKVCache.create(config, max_slots, self.max_seq_len)
+        self.paged = cache_mode == "paged"
+        if self.paged:
+            self.page_size = page_size
+            mps = -(-self.max_seq_len // page_size)
+            self.num_pages = num_pages or (max_slots * mps)
+            self.allocator = PageAllocator(self.num_pages)
+            self._sentinel = self.num_pages
+            self._host_pt = np.full((max_slots, mps), self._sentinel, np.int32)
+            self.cache: Cache = PagedKVCache.create(
+                config, num_pages=self.num_pages, page_size=page_size,
+                max_slots=max_slots, max_pages_per_seq=mps,
+            ).replace(page_table=jnp.asarray(self._host_pt))
+        elif quantized_kv:
+            self.cache = QuantizedKVCache.create(config, max_slots, self.max_seq_len)
         else:
             # KV dtype follows the activation dtype (params' final norm).
             self.cache = KVCache.create(
@@ -128,13 +145,29 @@ class ContinuousBatchingEngine:
             )
             return logits[:, -1], cache
 
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
+        def paged_prefill_step(params, cache, tokens, start_pos, slot: int):
+            """Prefill one slot of a paged cache: pages are global, only the
+            slot's page-table row participates."""
+            row = jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1, 0)
+            sub = cache.replace(
+                page_table=row,
+                lengths=jax.lax.dynamic_slice_in_dim(cache.lengths, slot, 1, 0),
+            )
+            logits, sub = forward(params, sub, tokens, start_pos, cfg)
+            cache = cache.replace(
+                k_pages=sub.k_pages, v_pages=sub.v_pages,
+                k_scale=sub.k_scale, v_scale=sub.v_scale,
+            )
+            return logits[:, -1], cache
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def decode_step(params, cache, tokens, positions, key, temps, ks, ps):
             logits, cache = forward(params, cache, tokens[:, None], positions, cfg)
             next_tokens = sample_batched(logits[:, 0], key, temps, ks, ps)
             return next_tokens, cache
 
-        self._prefill_step = prefill_step
+        self._prefill_step = paged_prefill_step if self.paged else prefill_step
         self._decode_step = decode_step
 
     # -- public API --------------------------------------------------------
@@ -171,8 +204,17 @@ class ContinuousBatchingEngine:
         (request_id, token) pairs.
         """
         if self._queue and self._free:
-            self._admit(self._queue.popleft())
-            return []
+            if self._admit(self._queue[0]):
+                self._queue.popleft()
+                return []
+            if not self._slots:
+                # Nothing running to free pages — the request can never fit.
+                request = self._queue.popleft()
+                completion = self._completions[request.request_id]
+                completion.finished = True
+                completion.error = "insufficient KV pages for prompt"
+                completion.finish_reason = "kv_oom"
+                return []
         for slot_id, slot in self._slots.items():
             if not slot.decoding:
                 return self._prefill_one(slot_id, slot)
@@ -191,11 +233,38 @@ class ContinuousBatchingEngine:
 
     # -- internals ---------------------------------------------------------
 
-    def _admit(self, request: Request) -> None:
-        slot_id = self._free.pop()
-        self._slots[slot_id] = _Slot(
-            request=request, completion=self._completions[request.request_id]
-        )
+    def _admit(self, request: Request) -> bool:
+        """Assign a slot (and, in paged mode, the prompt's pages).
+        Returns False when KV pages are exhausted — the request stays queued
+        until running requests complete and free pages."""
+        slot_id = self._free[-1]
+        slot = _Slot(request=request, completion=self._completions[request.request_id])
+        if self.paged:
+            needed = -(-len(request.prompt) // self.page_size) + 1
+            if not self.allocator.can_allocate(needed):
+                return False
+            slot.pages = self.allocator.allocate(slot_id, needed)
+            self._host_pt[slot_id, : len(slot.pages)] = slot.pages
+            self._sync_page_table()
+        self._free.pop()
+        self._slots[slot_id] = slot
+        return True
+
+    def _sync_page_table(self) -> None:
+        self.cache = self.cache.replace(page_table=jnp.asarray(self._host_pt))
+
+    def _grow_slot(self, slot_id: int, slot: _Slot) -> bool:
+        """Ensure a physical page exists for slot.pos (decode growth)."""
+        needed = slot.pos // self.page_size + 1
+        if needed <= len(slot.pages):
+            return True
+        if not self.allocator.can_allocate(1):
+            return False
+        page = self.allocator.allocate(slot_id, 1)[0]
+        slot.pages.append(page)
+        self._host_pt[slot_id, len(slot.pages) - 1] = page
+        self._sync_page_table()
+        return True
 
     def _prefill_one(self, slot_id: int, slot: _Slot) -> List[Tuple[int, int]]:
         prompt = list(slot.request.prompt)
@@ -232,8 +301,16 @@ class ContinuousBatchingEngine:
         ks = np.zeros(b, np.int32)
         ps = np.ones(b, np.float32)
         active = []
-        for slot_id, slot in self._slots.items():
+        emitted_oom: List[Tuple[int, int]] = []
+        for slot_id, slot in list(self._slots.items()):
             if not slot.decoding:
+                continue
+            if self.paged and not self._grow_slot(slot_id, slot):
+                completion = slot.completion
+                completion.finished = True
+                completion.finished_at = time.perf_counter()
+                completion.finish_reason = "kv_oom"
+                self._release(slot_id)
                 continue
             active.append(slot_id)
             tokens[slot_id] = slot.last_token
@@ -241,6 +318,8 @@ class ContinuousBatchingEngine:
             temps[slot_id] = slot.request.sampler.temperature
             ks[slot_id] = slot.request.sampler.top_k
             ps[slot_id] = slot.request.sampler.top_p
+        if not active:
+            return emitted_oom
         self._key, sub = jax.random.split(self._key)
         next_tokens, self.cache = self._decode_step(
             self.params, self.cache,
@@ -271,6 +350,13 @@ class ContinuousBatchingEngine:
             completion.finish_reason = (
                 "eos" if done_eos else ("length" if done_len else "cache_full")
             )
-            del self._slots[slot_id]
-            self._free.append(slot_id)
+            self._release(slot_id)
         return [(slot.request.request_id, token)]
+
+    def _release(self, slot_id: int) -> None:
+        del self._slots[slot_id]
+        self._free.append(slot_id)
+        if self.paged:
+            self.allocator.free_slot(slot_id)
+            self._host_pt[slot_id, :] = self._sentinel
+            self._sync_page_table()

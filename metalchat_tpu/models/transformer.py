@@ -41,10 +41,14 @@ import jax.numpy as jnp
 
 from metalchat_tpu.cache import (
     KVCache,
+    PagedKVCache,
     QuantizedKVCache,
     dequantize_kv,
+    gather_pages_dense,
+    positions_to_pages,
     update_layer_cache,
     update_layer_cache_quantized,
+    write_paged_layer,
 )
 from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.ops import use_pallas, xla as ops
@@ -53,6 +57,7 @@ from metalchat_tpu.ops.decode_attention_pallas import (
     decode_attention_quantized,
 )
 from metalchat_tpu.ops.flash_attention_pallas import flash_attention
+from metalchat_tpu.ops.paged_attention_pallas import paged_decode_attention
 from metalchat_tpu.quant.quantize import linear, lookup_embedding
 
 
@@ -64,7 +69,7 @@ def _choose_block(length: int, preferred: int = 256) -> Optional[int]:
     return None
 
 Params = Dict[str, Any]
-Cache = Union[KVCache, QuantizedKVCache]
+Cache = Union[KVCache, QuantizedKVCache, PagedKVCache]
 
 
 def make_rope_tables(config: ModelConfig, max_seq_len: Optional[int] = None) -> Dict[str, jax.Array]:
@@ -91,6 +96,7 @@ def _layer_step(
     offsets: jax.Array,   # [B] per-row start positions
     start_pos: jax.Array,  # scalar, or [B] when S == 1
     quantized_cache: bool,
+    page_table: Optional[jax.Array] = None,  # [B, max_pages] (paged cache)
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
     b, s, hidden = x.shape
     nh, nkv, hd = config.num_heads, config.num_kv_heads, config.head_dim
@@ -113,14 +119,20 @@ def _layer_step(
     q = ops.apply_rope(q, cos, sin, positions)
     k = ops.apply_rope(k, cos, sin, positions)
 
-    if quantized_cache:
+    paged = page_table is not None
+    if paged:
+        psize = cache_slices[0].shape[2]
+        pages, offs = positions_to_pages(page_table, positions, psize)
+        new_slices = write_paged_layer(*cache_slices, k, v, pages, offs)
+        kv_len = page_table.shape[1] * psize
+    elif quantized_cache:
         ck, cv, sk, sv = update_layer_cache_quantized(*cache_slices, k, v, start_pos)
-        new_slices: Tuple[jax.Array, ...] = (ck, cv, sk, sv)
+        new_slices = (ck, cv, sk, sv)
+        kv_len = ck.shape[2]
     else:
         ck, cv = update_layer_cache(*cache_slices, k, v, start_pos)
         new_slices = (ck, cv)
-
-    kv_len = ck.shape[2]
+        kv_len = ck.shape[2]
     scale = config.query_scale if config.query_scale is not None else hd**-0.5
 
     # Per-layer dynamic window: -1 = global (selected inside the scan).
@@ -129,7 +141,13 @@ def _layer_step(
         window = jnp.where(is_global, -1, config.sliding_window)
 
     block_t = _choose_block(kv_len)
-    if use_pallas() and s == 1 and block_t is not None:
+    if paged and use_pallas() and s == 1 and _choose_block(cache_slices[0].shape[2]) == cache_slices[0].shape[2]:
+        kp, vp, ksc, vsc = new_slices
+        attn = paged_decode_attention(
+            q[:, 0], kp, vp, ksc, vsc, page_table, offsets + 1,
+            scale=scale, window=window,
+        )[:, None]
+    elif not paged and use_pallas() and s == 1 and block_t is not None:
         # Fused decode attention; the quantized variant reads int8 KV directly.
         lengths = offsets + 1
         if quantized_cache:
@@ -142,7 +160,13 @@ def _layer_step(
                 q[:, 0], ck, cv, lengths, scale=scale, window=window, block_t=block_t,
             )[:, None]
     else:
-        if quantized_cache:
+        if paged:
+            kp, vp, ksc, vsc = new_slices
+            keys = dequantize_kv(gather_pages_dense(kp, page_table),
+                                 gather_pages_dense(ksc, page_table), x.dtype)
+            values = dequantize_kv(gather_pages_dense(vp, page_table),
+                                   gather_pages_dense(vsc, page_table), x.dtype)
+        elif quantized_cache:
             keys = dequantize_kv(ck, sk, x.dtype)
             values = dequantize_kv(cv, sv, x.dtype)
         else:
@@ -202,11 +226,17 @@ def forward(
         [config.layer_is_global(i) for i in range(config.num_layers)]
     )
 
+    paged = isinstance(cache, PagedKVCache)
     quantized = isinstance(cache, QuantizedKVCache)
-    if quantized:
-        cache_leaves = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    if paged:
+        cache_leaves = (cache.k_pages, cache.v_pages, cache.k_scale, cache.v_scale)
+        page_table = cache.page_table
     else:
-        cache_leaves = (cache.k, cache.v)
+        page_table = None
+        if quantized:
+            cache_leaves = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+        else:
+            cache_leaves = (cache.k, cache.v)
 
     def scan_fn(carry, xs):
         layer, slices, layer_global = xs
@@ -221,6 +251,7 @@ def forward(
             offsets=offsets,
             start_pos=start_pos,
             quantized_cache=quantized,
+            page_table=page_table,
         )
         return new_carry, new_slices
 
@@ -229,8 +260,11 @@ def forward(
     x = ops.rms_norm(x, params["final_norm"], eps=config.rms_norm_eps, offset=config.norm_weight_offset)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
 
-    if quantized:
-        new_cache: Cache = QuantizedKVCache(*new_leaves)
+    if paged:
+        new_cache: Cache = PagedKVCache(*new_leaves, page_table=cache.page_table,
+                                        lengths=cache.lengths)
+    elif quantized:
+        new_cache = QuantizedKVCache(*new_leaves)
     else:
         new_cache = KVCache(*new_leaves)
     return logits, new_cache

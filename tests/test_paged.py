@@ -1,0 +1,152 @@
+"""Paged KV cache tests: allocator, scatter writes, dense-gather parity,
+Pallas paged attention (interpret), and paged model forward equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from metalchat_tpu.cache import (
+    KVCache,
+    PagedKVCache,
+    dequantize_kv,
+    gather_pages_dense,
+    positions_to_pages,
+    quantize_kv,
+    write_paged_layer,
+)
+from metalchat_tpu.engine.paged import PageAllocator
+from metalchat_tpu.models import forward, init_random_params
+from metalchat_tpu.ops import xla as xops
+from metalchat_tpu.ops.paged_attention_pallas import paged_decode_attention
+
+from test_model import TINY_LLAMA
+
+
+def test_page_allocator():
+    alloc = PageAllocator(8)
+    a = alloc.allocate(0, 3)
+    b = alloc.allocate(1, 4)
+    assert len(set(a) | set(b)) == 7 and alloc.free_pages == 1
+    with pytest.raises(MemoryError):
+        alloc.allocate(2, 2)
+    alloc.free_slot(0)
+    assert alloc.free_pages == 4
+    assert alloc.can_allocate(4) and not alloc.can_allocate(5)
+
+
+def test_positions_to_pages():
+    table = jnp.asarray([[7, 3, 9], [2, 4, 6]], jnp.int32)
+    positions = jnp.asarray([[0, 5, 8], [4, 11, 0]], jnp.int32)
+    pages, offs = positions_to_pages(table, positions, page_size=4)
+    np.testing.assert_array_equal(np.asarray(pages), [[7, 3, 9], [4, 6, 2]])
+    np.testing.assert_array_equal(np.asarray(offs), [[0, 1, 0], [0, 3, 0]])
+
+
+def test_write_and_gather_roundtrip():
+    rng = np.random.default_rng(0)
+    n_kv, P, psize, hd = 2, 6, 4, 8
+    kp = jnp.zeros((n_kv, P, psize, hd), jnp.int8)
+    vp = jnp.zeros_like(kp)
+    ks = jnp.zeros((n_kv, P, psize, 1), jnp.float32)
+    vs = jnp.zeros_like(ks)
+    # One sequence (B=1), 6 tokens over pages [5, 1]
+    k_new = jnp.asarray(rng.standard_normal((1, 6, n_kv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((1, 6, n_kv, hd)), jnp.float32)
+    table = jnp.asarray([[5, 1, 0]], jnp.int32)
+    positions = jnp.arange(6, dtype=jnp.int32)[None, :]
+    pages, offs = positions_to_pages(table, positions, psize)
+    kp, vp, ks, vs = write_paged_layer(kp, vp, ks, vs, k_new, v_new, pages, offs)
+
+    dense_k = dequantize_kv(gather_pages_dense(kp, table),
+                            gather_pages_dense(ks, table), jnp.float32)
+    # First 6 positions must match the (int8-roundtripped) inputs.
+    expect = dequantize_kv(*quantize_kv(jnp.swapaxes(k_new, 1, 2)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(dense_k)[:, :, :6], np.asarray(expect),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_write_sentinel_page_dropped():
+    n_kv, P, psize, hd = 1, 2, 4, 8
+    kp = jnp.zeros((n_kv, P, psize, hd), jnp.int8)
+    vp, ks, vs = kp, jnp.zeros((n_kv, P, psize, 1)), jnp.zeros((n_kv, P, psize, 1))
+    k_new = jnp.ones((1, 1, n_kv, hd), jnp.float32)
+    pages = jnp.asarray([[P]], jnp.int32)  # sentinel = out of range
+    offs = jnp.asarray([[0]], jnp.int32)
+    kp2, _, _, _ = write_paged_layer(kp, vp, ks, vs, k_new, k_new, pages, offs)
+    np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp))  # dropped
+
+
+def test_paged_attention_kernel_matches_dense():
+    rng = np.random.default_rng(1)
+    b, nh, n_kv, hd, psize, P, mp = 2, 8, 4, 32, 16, 10, 4
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)), jnp.float32)
+    kd = jnp.asarray(rng.standard_normal((b, n_kv, mp * psize, hd)), jnp.float32)
+    vd = jnp.asarray(rng.standard_normal((b, n_kv, mp * psize, hd)), jnp.float32)
+    lengths = [37, 64]
+
+    # Scatter the dense KV into pages via disjoint per-row tables.
+    tables = np.array([[0, 3, 7, 2], [1, 4, 5, 8]], np.int32)
+    kp = np.zeros((n_kv, P, psize, hd), np.int8)
+    vp = np.zeros_like(kp)
+    ks = np.zeros((n_kv, P, psize, 1), np.float32)
+    vs = np.zeros_like(ks)
+    qk, sk = quantize_kv(kd)
+    qv, sv = quantize_kv(vd)
+    for row in range(b):
+        for i in range(mp):
+            page = tables[row, i]
+            kp[:, page] = np.asarray(qk)[row, :, i * psize:(i + 1) * psize]
+            vp[:, page] = np.asarray(qv)[row, :, i * psize:(i + 1) * psize]
+            ks[:, page] = np.asarray(sk)[row, :, i * psize:(i + 1) * psize]
+            vs[:, page] = np.asarray(sv)[row, :, i * psize:(i + 1) * psize]
+
+    got = np.asarray(paged_decode_attention(
+        q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(ks), jnp.asarray(vs),
+        jnp.asarray(tables), jnp.asarray(lengths), scale=0.125, interpret=True,
+    ))
+
+    kdq = dequantize_kv(qk, sk, jnp.float32)
+    vdq = dequantize_kv(qv, sv, jnp.float32)
+    for row in range(b):
+        pos = jnp.asarray([[lengths[row] - 1]], jnp.int32)
+        mask = xops.causal_mask(pos, mp * psize, lengths[row])
+        ref = xops.attention(q[row:row+1, None], kdq[row:row+1], vdq[row:row+1],
+                             mask, scale=0.125)
+        np.testing.assert_allclose(got[row], np.asarray(ref)[0, 0], rtol=2e-4, atol=2e-4)
+
+
+def test_paged_forward_matches_dense_cache():
+    """Full model forward on a paged cache ≈ dense cache (int8 KV in both)."""
+    cfg = TINY_LLAMA
+    params = init_random_params(cfg, seed=41, dtype=jnp.float32)
+    prompt = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+
+    dense_cache = KVCache.create(cfg, 1, 16, dtype=jnp.float32)
+    ref_logits, _ = jax.jit(forward, static_argnames="config")(
+        params, dense_cache, prompt, 0, config=cfg
+    )
+
+    paged = PagedKVCache.create(cfg, num_pages=8, page_size=4, max_slots=1,
+                                max_pages_per_seq=4)
+    paged = paged.replace(
+        page_table=jnp.asarray([[6, 2, 5, 0]], jnp.int32),
+        lengths=jnp.asarray([0], jnp.int32),
+    )
+    logits, new_cache = jax.jit(forward, static_argnames="config")(
+        params, paged, prompt, 0, config=cfg
+    )
+    # int8 KV quantization noise only.
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_array_equal(
+        np.asarray(logits)[:, -1].argmax(-1), np.asarray(ref_logits)[:, -1].argmax(-1)
+    )
+
+    # Decode continues over the paged cache with per-row positions.
+    tok = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
+    logits2, _ = jax.jit(forward, static_argnames="config")(
+        params, new_cache, tok, jnp.asarray([8], jnp.int32), config=cfg
+    )
+    assert np.isfinite(np.asarray(logits2)).all()
