@@ -144,8 +144,25 @@ class SafetensorsDocument:
 
     @classmethod
     def open(cls, path: str | Path) -> "SafetensorsDocument":
-        """mmap the file; tensor views are zero-copy aliases of the mapping."""
+        """mmap the file; tensor views are zero-copy aliases of the mapping.
+
+        Uses the native C++ data plane (metalchat_tpu.native) when built —
+        mmap + WILLNEED prefetch for bulk device uploads — falling back to
+        Python mmap otherwise."""
         path = Path(path)
+        try:
+            from metalchat_tpu import native
+
+            if native.available():
+                nm = native.NativeMmap(str(path))
+                view = nm.view()
+                metadata, entries = parse_header(view)
+                header_len = int.from_bytes(bytes(view[:8]), "little")
+                nm.advise("willneed")
+                return cls(entries, view[8 + header_len :], metadata,
+                           _owner=("native", nm, view))
+        except Exception:
+            pass  # any native failure → portable path
         f = path.open("rb")
         mapped = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         if hasattr(mmap, "MADV_WILLNEED"):
@@ -229,7 +246,11 @@ class SafetensorsDocument:
     def close(self) -> None:
         self._data = memoryview(b"")
         if self._owner is not None:
-            f, mapped, view = self._owner
+            tag, mapped, view = self._owner
+            if tag == "native":
+                mapped.close()  # NativeMmap (views become invalid)
+                self._owner = None
+                return
             view.release()
             try:
                 mapped.close()
@@ -237,7 +258,7 @@ class SafetensorsDocument:
                 # Outstanding numpy views still alias the mapping; the mmap is
                 # released when they are garbage-collected.
                 pass
-            f.close()
+            tag.close()  # the file object
             self._owner = None
 
 

@@ -59,6 +59,18 @@ class BytePairEncoder:
         self._special_split = None
         self._rebuild_special_split()
 
+        # Native C++ merge loop (tiktoken-rank mode only; explicit-merge and
+        # char-unit modes keep the Python path).
+        self._native = None
+        if merges is None and unit == "byte":
+            try:
+                from metalchat_tpu import native
+
+                if native.available():
+                    self._native = native.NativeBPE(vocab)
+            except Exception:
+                self._native = None
+
         self._id_to_bytes: Dict[int, bytes] = {}
         for tok, tid in vocab.items():
             self._id_to_bytes.setdefault(tid, tok)
@@ -135,6 +147,11 @@ class BytePairEncoder:
         raise ValueError(f"unencodable symbol {sym!r}")
 
     def encode_piece(self, piece: bytes) -> List[int]:
+        if self._native is not None:
+            ids = self._native.encode_piece(piece)
+            if ids is not None:
+                return ids
+            # fall through (unencodable via native → byte-fallback handling)
         tid = self._vocab.get(piece)
         if tid is not None:
             return [tid]

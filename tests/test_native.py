@@ -1,0 +1,80 @@
+"""Native (C++) component tests: mmap data plane + BPE merge core.
+
+Built on demand; every test asserts exact parity with the Python paths.
+"""
+
+import numpy as np
+import pytest
+
+from metalchat_tpu import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.available():
+        from metalchat_tpu.native.build import build
+
+        build(verbose=False)
+        native._load.cache_clear()
+    assert native.available()
+
+
+def test_native_mmap_roundtrip(tmp_path):
+    from metalchat_tpu.io.safetensors import SafetensorsDocument, save_safetensors
+
+    w = np.random.default_rng(0).standard_normal((64, 32)).astype(np.float32)
+    path = tmp_path / "m.safetensors"
+    save_safetensors(path, {"w": w})
+
+    m = native.NativeMmap(str(path))
+    assert m.size == path.stat().st_size
+    assert m.header_len > 0
+    view = m.view()
+    assert bytes(view[:8]) == path.read_bytes()[:8]
+    m.advise("sequential")
+    m.advise("willneed", offset=8, length=100)
+    del view
+    m.close()
+
+    # The document open path routes through the native mmap transparently.
+    doc = SafetensorsDocument.open(path)
+    assert doc._owner is not None and doc._owner[0] == "native"
+    np.testing.assert_array_equal(doc["w"], w)
+
+
+def test_native_mmap_missing_file():
+    with pytest.raises(OSError):
+        native.NativeMmap("/nonexistent/path.safetensors")
+
+
+def test_native_bpe_parity():
+    """Native merge must equal the Python merge on every input."""
+    from metalchat_tpu.text.bpe import BytePairEncoder
+
+    rng = np.random.default_rng(1)
+    vocab = {bytes([b]): b for b in range(256)}
+    words = ["he", "ll", "o", "hell", "hello", " w", "or", "ld", " wor",
+             " world", "th", "e", " the", "ing", "tion", "att", "ention"]
+    for i, w in enumerate(words):
+        vocab[w.encode()] = 256 + i
+
+    tok = BytePairEncoder(vocab)
+    assert tok._native is not None  # native path active
+
+    pure = BytePairEncoder(vocab)
+    pure._native = None
+
+    cases = ["hello world", "the attention", "", "héllo🦜", "x" * 200,
+             "hellohellohello", " the the the"]
+    for text in cases:
+        assert tok.encode(text) == pure.encode(text), text
+
+
+def test_native_bpe_unencodable_fallback():
+    from metalchat_tpu import native as n
+
+    # vocab without all byte tokens → native returns None, Python raises.
+    vocab = {b"a": 0, b"b": 1, b"ab": 2}
+    bpe = n.NativeBPE(vocab)
+    assert bpe.encode_piece(b"ab") == [2]
+    assert bpe.encode_piece(b"zz") is None
