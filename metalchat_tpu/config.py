@@ -63,6 +63,11 @@ class ModelConfig:
     sliding_window: Optional[int] = None
     sliding_window_pattern: int = 1   # every Nth layer is global; 1 == all global
     rope_local_theta: Optional[float] = None  # theta for sliding (local) layers
+    # GPT-2-era architecture switches (inert for Llama/Gemma):
+    norm_type: str = "rmsnorm"        # "rmsnorm" | "layernorm"
+    position_embedding: str = "rope"  # "rope" | "learned"
+    ffn_type: str = "swiglu"          # "swiglu" | "mlp"
+    use_bias: bool = False            # biases on attention/FFN projections
     # Sampling-time default begin/end ids (overridable by tokenizer):
     bos_token_id: int = 128000
     eos_token_ids: Tuple[int, ...] = (128001, 128009)
@@ -218,6 +223,37 @@ class Gemma3Config(ModelConfig):
         )
 
 
+@dataclass(frozen=True)
+class GPT2Config(ModelConfig):
+    """GPT-2 family: LayerNorm, learned positions, biased GELU MLP, MHA."""
+
+    model_type: str = "gpt2"
+
+    @staticmethod
+    def from_hf_config(cfg: Mapping[str, Any]) -> "GPT2Config":
+        heads = int(cfg.get("n_head", 12))
+        hidden = int(cfg.get("n_embd", 768))
+        return GPT2Config(
+            vocab_size=int(cfg.get("vocab_size", 50257)),
+            hidden_size=hidden,
+            intermediate_size=int(cfg.get("n_inner") or 4 * hidden),
+            num_layers=int(cfg.get("n_layer", 12)),
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=hidden // heads,
+            rms_norm_eps=float(cfg.get("layer_norm_epsilon", 1e-5)),
+            max_seq_len=int(cfg.get("n_positions", 1024)),
+            tie_word_embeddings=True,
+            norm_type="layernorm",
+            position_embedding="learned",
+            ffn_type="mlp",
+            use_bias=True,
+            hidden_act="gelu_tanh",
+            bos_token_id=int(cfg.get("bos_token_id", 50256)),
+            eos_token_ids=_as_tuple(cfg.get("eos_token_id", 50256)),
+        )
+
+
 def _as_tuple(v: Any) -> Tuple[int, ...]:
     if isinstance(v, (list, tuple)):
         return tuple(int(x) for x in v)
@@ -238,6 +274,8 @@ def config_from_dict(cfg: Mapping[str, Any]) -> ModelConfig:
         return Gemma3Config.from_hf_config(cfg)
     if mt == "llama" or "Llama" in archs:
         return LlamaConfig.from_hf_config(cfg)
+    if mt == "gpt2" or "GPT2" in archs:
+        return GPT2Config.from_hf_config(cfg)
     if "dim" in cfg and "n_layers" in cfg:  # Meta params.json has no model_type
         return LlamaConfig.from_meta_params(cfg)
     raise ValueError(f"unrecognized model config (model_type={mt!r})")

@@ -146,6 +146,56 @@ def load_params(
     return params
 
 
+def load_gpt2_params(
+    doc: SafetensorsDocument,
+    config: ModelConfig,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    max_seq_len: Optional[int] = None,
+) -> Params:
+    """Load an HF GPT-2 checkpoint (wte/wpe/h.N.* naming; Conv1D weights are
+    already [in, out]-major so no transposes). The fused c_attn [H, 3H] is
+    split into wq/wk/wv."""
+    L, h = config.num_layers, config.hidden_size
+
+    def a(name):
+        return np.asarray(doc[name], np.float32)
+
+    def stack(fmt, transform=lambda x: x):
+        return jnp.asarray(
+            np.stack([transform(a(fmt.format(i=i))) for i in range(L)]), dtype
+        )
+
+    layers: Dict[str, Any] = {
+        "attn_norm": stack("h.{i}.ln_1.weight"),
+        "attn_norm_b": stack("h.{i}.ln_1.bias"),
+        "ffn_norm": stack("h.{i}.ln_2.weight"),
+        "ffn_norm_b": stack("h.{i}.ln_2.bias"),
+        "wq": stack("h.{i}.attn.c_attn.weight", lambda w: w[:, :h]),
+        "wk": stack("h.{i}.attn.c_attn.weight", lambda w: w[:, h : 2 * h]),
+        "wv": stack("h.{i}.attn.c_attn.weight", lambda w: w[:, 2 * h :]),
+        "wq_b": stack("h.{i}.attn.c_attn.bias", lambda b: b[:h]),
+        "wk_b": stack("h.{i}.attn.c_attn.bias", lambda b: b[h : 2 * h]),
+        "wv_b": stack("h.{i}.attn.c_attn.bias", lambda b: b[2 * h :]),
+        "wo": stack("h.{i}.attn.c_proj.weight"),
+        "wo_b": stack("h.{i}.attn.c_proj.bias"),
+        "w1": stack("h.{i}.mlp.c_fc.weight"),
+        "w1_b": stack("h.{i}.mlp.c_fc.bias"),
+        "w2": stack("h.{i}.mlp.c_proj.weight"),
+        "w2_b": stack("h.{i}.mlp.c_proj.bias"),
+    }
+    embed = a("wte.weight")
+    return {
+        "embed": jnp.asarray(embed, dtype),
+        "pos_emb": jnp.asarray(a("wpe.weight"), dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(a("ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(a("ln_f.bias"), dtype),
+        "lm_head": jnp.asarray(np.ascontiguousarray(embed.T), dtype),
+        "rope": make_rope_tables(config, max_seq_len),
+    }
+
+
 def save_params(params: Params, config: ModelConfig) -> Dict[str, np.ndarray]:
     """Flatten a parameter tree back to HF-named tensors (for
     `save_safetensors`; reference: src/safetensor.cc:287-319 save path)."""

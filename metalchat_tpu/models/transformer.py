@@ -72,6 +72,20 @@ Params = Dict[str, Any]
 Cache = Union[KVCache, QuantizedKVCache, PagedKVCache]
 
 
+def _norm(x, layer_or_params, name: str, config: ModelConfig):
+    """rmsnorm (Llama/Gemma) or layernorm (GPT-2) by config.norm_type."""
+    w = layer_or_params[name]
+    if config.norm_type == "layernorm":
+        return ops.layer_norm(x, w, layer_or_params[name + "_b"], eps=config.rms_norm_eps)
+    return ops.rms_norm(x, w, eps=config.rms_norm_eps, offset=config.norm_weight_offset)
+
+
+def _biased(y, layer, name: str, config: ModelConfig):
+    if config.use_bias and name in layer:
+        return y + layer[name]
+    return y
+
+
 def make_rope_tables(config: ModelConfig, max_seq_len: Optional[int] = None) -> Dict[str, jax.Array]:
     """Precompute rope cos/sin (global + optional Gemma local tables)."""
     s = max_seq_len or config.max_seq_len
@@ -102,22 +116,23 @@ def _layer_step(
     nh, nkv, hd = config.num_heads, config.num_kv_heads, config.head_dim
     eps, mu = config.rms_norm_eps, config.norm_weight_offset
 
-    h = ops.rms_norm(x, layer["attn_norm"], eps=eps, offset=mu)
-    q = linear(h, layer["wq"]).reshape(b, s, nh, hd)
-    k = linear(h, layer["wk"]).reshape(b, s, nkv, hd)
-    v = linear(h, layer["wv"]).reshape(b, s, nkv, hd)
+    h = _norm(x, layer, "attn_norm", config)
+    q = _biased(linear(h, layer["wq"]), layer, "wq_b", config).reshape(b, s, nh, hd)
+    k = _biased(linear(h, layer["wk"]), layer, "wk_b", config).reshape(b, s, nkv, hd)
+    v = _biased(linear(h, layer["wv"]), layer, "wv_b", config).reshape(b, s, nkv, hd)
 
     if config.use_qk_norm:
         q = ops.rms_norm(q, layer["q_norm"], eps=eps, offset=mu)
         k = ops.rms_norm(k, layer["k_norm"], eps=eps, offset=mu)
 
-    # Per-layer rope table choice (Gemma local vs global theta).
-    cos, sin = rope["cos"], rope["sin"]
-    if "cos_local" in rope:
-        cos = jnp.where(is_global, cos, rope["cos_local"])
-        sin = jnp.where(is_global, sin, rope["sin_local"])
-    q = ops.apply_rope(q, cos, sin, positions)
-    k = ops.apply_rope(k, cos, sin, positions)
+    if config.position_embedding == "rope":
+        # Per-layer rope table choice (Gemma local vs global theta).
+        cos, sin = rope["cos"], rope["sin"]
+        if "cos_local" in rope:
+            cos = jnp.where(is_global, cos, rope["cos_local"])
+            sin = jnp.where(is_global, sin, rope["sin_local"])
+        q = ops.apply_rope(q, cos, sin, positions)
+        k = ops.apply_rope(k, cos, sin, positions)
 
     paged = page_table is not None
     if paged:
@@ -184,13 +199,18 @@ def _layer_step(
                 sliding = ops.causal_mask(positions, kv_len, valid, config.sliding_window)
                 mask = jnp.where(is_global, mask, sliding)
             attn = ops.attention(q, keys, values, mask, scale=scale)
-    attn = linear(attn.reshape(b, s, nh * hd), layer["wo"])
+    attn = _biased(linear(attn.reshape(b, s, nh * hd), layer["wo"]), layer, "wo_b", config)
     if config.use_post_norms:
         attn = ops.rms_norm(attn, layer["post_attn_norm"], eps=eps, offset=mu)
     x = x + attn
 
-    h = ops.rms_norm(x, layer["ffn_norm"], eps=eps, offset=mu)
-    ffn = ops.swiglu(h, layer["w1"], layer["w3"], layer["w2"], config.hidden_act, matmul=linear)
+    h = _norm(x, layer, "ffn_norm", config)
+    if config.ffn_type == "mlp":
+        gate = _biased(linear(h, layer["w1"]), layer, "w1_b", config)
+        gate = jax.nn.gelu(gate, approximate=True) if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate)
+        ffn = _biased(linear(gate, layer["w2"]), layer, "w2_b", config)
+    else:
+        ffn = ops.swiglu(h, layer["w1"], layer["w3"], layer["w2"], config.hidden_act, matmul=linear)
     if config.use_post_norms:
         ffn = ops.rms_norm(ffn, layer["post_ffn_norm"], eps=eps, offset=mu)
     x = x + ffn
@@ -221,6 +241,8 @@ def forward(
     x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
     if config.embedding_scale is not None:
         x = x * jnp.asarray(config.embedding_scale, x.dtype)
+    if config.position_embedding == "learned":
+        x = x + params["pos_emb"][positions].astype(x.dtype)
 
     is_global = jnp.asarray(
         [config.layer_is_global(i) for i in range(config.num_layers)]
@@ -257,7 +279,12 @@ def forward(
 
     x, new_leaves = jax.lax.scan(scan_fn, x, (params["layers"], cache_leaves, is_global))
 
-    x = ops.rms_norm(x, params["final_norm"], eps=config.rms_norm_eps, offset=config.norm_weight_offset)
+    if config.norm_type == "layernorm":
+        x = ops.layer_norm(x, params["final_norm"], params["final_norm_b"],
+                           eps=config.rms_norm_eps)
+    else:
+        x = ops.rms_norm(x, params["final_norm"], eps=config.rms_norm_eps,
+                         offset=config.norm_weight_offset)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
 
     if paged:
@@ -296,12 +323,24 @@ def init_random_params(
         "w3": dense(next(keys), L, h, f),
         "w2": dense(next(keys), L, f, h),
     }
+    if config.ffn_type == "mlp":
+        del layers["w3"]
     if config.use_qk_norm:
         layers["q_norm"] = jnp.ones((L, hd), dtype)
         layers["k_norm"] = jnp.ones((L, hd), dtype)
     if config.use_post_norms:
         layers["post_attn_norm"] = jnp.ones((L, h), dtype)
         layers["post_ffn_norm"] = jnp.ones((L, h), dtype)
+    if config.norm_type == "layernorm":
+        layers["attn_norm_b"] = jnp.zeros((L, h), dtype)
+        layers["ffn_norm_b"] = jnp.zeros((L, h), dtype)
+    if config.use_bias:
+        layers["wq_b"] = jnp.zeros((L, nh * hd), dtype)
+        layers["wk_b"] = jnp.zeros((L, nkv * hd), dtype)
+        layers["wv_b"] = jnp.zeros((L, nkv * hd), dtype)
+        layers["wo_b"] = jnp.zeros((L, h), dtype)
+        layers["w1_b"] = jnp.zeros((L, f), dtype)
+        layers["w2_b"] = jnp.zeros((L, h), dtype)
 
     embed = dense(next(keys), config.vocab_size, h)
     params: Params = {
@@ -311,4 +350,8 @@ def init_random_params(
         "lm_head": embed.T if config.tie_word_embeddings else dense(next(keys), h, config.vocab_size),
         "rope": make_rope_tables(config, max_seq_len),
     }
+    if config.norm_type == "layernorm":
+        params["final_norm_b"] = jnp.zeros((h,), dtype)
+    if config.position_embedding == "learned":
+        params["pos_emb"] = dense(next(keys), max_seq_len or config.max_seq_len, h)
     return params

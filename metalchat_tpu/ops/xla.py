@@ -43,6 +43,18 @@ def rms_norm(
     return (normed * (offset + weight.astype(jnp.float32))).astype(dtype)
 
 
+def layer_norm(
+    x: jax.Array, weight: jax.Array, bias: jax.Array, *, eps: float = 1e-5
+) -> jax.Array:
+    """Classic LayerNorm (GPT-2 family; f32 statistics)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
 def scale_rope_freqs(freqs: jax.Array, scaling: RopeScaling) -> jax.Array:
     """Llama-3.1 rope frequency scaling (reference: nn/embedding.h:133-157)."""
     low_wavelen = scaling.original_max_position_embeddings / scaling.low_freq_factor

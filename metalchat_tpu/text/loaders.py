@@ -172,6 +172,33 @@ def _normalizer_adds_prefix(normalizer) -> bool:
     return False
 
 
+# GPT-2's original pre-split pattern (no unicode-category digits grouping).
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def load_gpt2_vocab(
+    vocab_path: str | Path, merges_path: str | Path
+) -> BytePairEncoder:
+    """Load the classic GPT-2 artifact pair: ``vocab.json`` + ``merges.txt``."""
+    raw_vocab = json.loads(Path(vocab_path).read_text())
+    vocab = {gpt2_decode(tok): tid for tok, tid in raw_vocab.items()}
+    ranks: Dict[Tuple[bytes, bytes], int] = {}
+    for i, line in enumerate(Path(merges_path).read_text().splitlines()):
+        if not line or line.startswith("#version"):
+            continue
+        left, right = line.split(" ", 1)
+        ranks[(gpt2_decode(left), gpt2_decode(right))] = len(ranks)
+    specials = SpecialTokenRegistry()
+    if "<|endoftext|>" in raw_vocab:
+        specials.add("<|endoftext|>", raw_vocab["<|endoftext|>"], TokenKind.END_TEXT)
+        vocab.pop(gpt2_decode("<|endoftext|>"), None)
+    return BytePairEncoder(
+        vocab, merges=ranks, split_pattern=GPT2_SPLIT_PATTERN, specials=specials
+    )
+
+
 def load_tokenizer(model_dir: str | Path) -> AnyTokenizer:
     """Load whichever tokenizer artifact a model directory provides
     (reference: per-model `tokenizer_loader` traits, transformer.h:220-248)."""
@@ -182,4 +209,8 @@ def load_tokenizer(model_dir: str | Path) -> AnyTokenizer:
     meta = model_dir / "tokenizer.model"
     if meta.exists():
         return load_tiktoken_model(meta)
+    vocab = model_dir / "vocab.json"
+    merges = model_dir / "merges.txt"
+    if vocab.exists() and merges.exists():
+        return load_gpt2_vocab(vocab, merges)
     raise FileNotFoundError(f"no tokenizer artifact under {model_dir}")
