@@ -184,6 +184,39 @@ def update_layer_cache_quantized(
     )
 
 
+def roll_kv_cache(cache, num_sink: int, shift: int):
+    """Attention-sinks eviction: keep slots [0, num_sink), roll the rest left
+    by `shift`, clearing the tail for reuse.
+
+    The reference's sink_cache does this with a per-overflow `roll` kernel
+    (cache.h:186-204); here it is one jitted concatenate per eviction event,
+    and evictions are **bulk** (shift ≫ 1) so the O(S) data movement is
+    amortized over `shift` generated tokens instead of paid per token.
+    Evicted keys keep their original rope phases (the StreamingLLM-style
+    degraded-fidelity trade the reference makes too, SURVEY.md §5).
+    """
+    import functools as _functools
+
+    @_functools.partial(jax.jit, static_argnames=("sink", "n"))
+    def _roll(arr, sink: int, n: int):
+        head = arr[:, :, :, :sink]
+        body = arr[:, :, :, sink + n :]
+        tail = jnp.zeros_like(arr[:, :, :, : n])
+        return jnp.concatenate([head, body, tail], axis=3)
+
+    if isinstance(cache, QuantizedKVCache):
+        return QuantizedKVCache(
+            k=_roll(cache.k, sink=num_sink, n=shift),
+            v=_roll(cache.v, sink=num_sink, n=shift),
+            k_scale=_roll(cache.k_scale, sink=num_sink, n=shift),
+            v_scale=_roll(cache.v_scale, sink=num_sink, n=shift),
+        )
+    return KVCache(
+        k=_roll(cache.k, sink=num_sink, n=shift),
+        v=_roll(cache.v, sink=num_sink, n=shift),
+    )
+
+
 def sink_positions(
     start_pos: jax.Array, seq_len: int, cache_len: int, num_sink: int
 ) -> jax.Array:

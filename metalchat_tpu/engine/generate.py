@@ -154,17 +154,26 @@ def generate_stream(
     cache: Optional[Cache] = None,
     start_pos: int = 0,
     max_seq_len: Optional[int] = None,
+    sink_tokens: Optional[int] = None,
 ) -> Iterator[int]:
     """Stream generated token ids one at a time (batch of one).
 
     Stops on EOS or token budget; the caller (chat interpreter) applies its
     own scanners on top. Reuses a caller-provided cache for multi-turn
     sessions (the interpreter keeps the conversation's KV warm).
+
+    `sink_tokens` enables attention-sinks eviction (the reference's
+    sink_cache, nn/cache.h): when the cache fills, the first `sink_tokens`
+    positions are pinned and a quarter of the window is evicted in bulk, so
+    generation continues past the cache length at degraded fidelity.
     """
+    import dataclasses as _dc
+
     tokens = jnp.asarray(prompt, jnp.int32)[None, :]
     if cache is None:
         limit = max_seq_len or min(config.max_seq_len, len(prompt) + max_new_tokens + start_pos)
         cache = KVCache.create(config, 1, limit)
+    cache_len = cache.max_seq_len
     prefill = make_prefill(config, sampler, eos_ids)
     step = make_decode_step(config, sampler, eos_ids)
     state = prefill(params, cache, tokens, start_pos, jax.random.PRNGKey(seed))
@@ -174,4 +183,15 @@ def generate_stream(
             yield token
             return
         yield token
+        if int(state.pos) + 1 >= cache_len:
+            if sink_tokens is None:
+                return  # context window exhausted
+            from metalchat_tpu.cache import roll_kv_cache
+
+            shift = max(1, (cache_len - sink_tokens) // 4)
+            state = _dc.replace(
+                state,
+                cache=roll_kv_cache(state.cache, sink_tokens, shift),
+                pos=state.pos - shift,
+            )
         state, _ = step(params, state)

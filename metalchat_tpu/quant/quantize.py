@@ -167,12 +167,15 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
         )
         return out.astype(dtype)
 
-    # int4: two half-width dequant matmuls (half-split packing).
+    # int4: two half-width dequant matmuls (half-split packing). Nibble
+    # extraction in i32 — int8 vector shifts lower poorly on TPU (measured
+    # 285 vs 219 GB/s effective at 8B FFN shapes).
     packed = qt.q
     half, out_features = packed.shape[-2:]
     half_groups = half // g
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-    hi = jnp.right_shift(packed, 4)
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
+    hi = jnp.right_shift(p32, 4)
     s_lo, s_hi = scales[:half_groups], scales[half_groups:]
     w_lo = (lo.astype(dtype).reshape(half_groups, g, out_features)
             * s_lo[..., :, None, :]).reshape(half, out_features)
