@@ -77,6 +77,8 @@ def bytes_per_token(cfg, params, quantized_kv: bool, kv_len: int, batch: int) ->
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="8b-int4")
+    parser.add_argument("--kv", choices=["default", "bf16", "int8"], default="default",
+                        help="override the KV cache dtype of the chosen config")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--steps-lo", type=int, default=16)
     parser.add_argument("--steps-hi", type=int, default=144)
@@ -90,6 +92,8 @@ def main() -> None:
     from metalchat_tpu.models.transformer import forward
 
     cfg, params, quantized_kv = build(args.config)
+    if args.kv != "default":
+        quantized_kv = args.kv == "int8"
     max_seq = cfg.max_seq_len
     cls = QuantizedKVCache if quantized_kv else KVCache
     prompt = jnp.ones((args.batch, 16), jnp.int32)
