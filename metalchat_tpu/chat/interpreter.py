@@ -77,6 +77,7 @@ class Interpreter:
         commands: Optional[Sequence[Command]] = None,
         scanner: Optional[TokenScanner] = None,
         assistant_role: str = "assistant",
+        sink_tokens: Optional[int] = None,
         seed: int = 0,
     ):
         self.params = params
@@ -87,6 +88,7 @@ class Interpreter:
         self.max_seq_len = max_seq_len or config.max_seq_len
         self.max_reply_tokens = max_reply_tokens
         self.assistant_role = assistant_role
+        self.sink_tokens = sink_tokens
         self.commands = CommandScanner(list(commands) if commands else [])
         self.variables: Dict[str, Any] = {}
         self._key = jax.random.PRNGKey(seed)
@@ -172,7 +174,17 @@ class Interpreter:
         self.scanner.reset()
         token = self._flush()
         while True:
-            if not self.scanner.scan(token) or self.pos + 1 >= self.max_seq_len:
+            exhausted = self.pos + 1 >= self.max_seq_len
+            if exhausted and self.sink_tokens is not None:
+                # Attention-sinks eviction: keep the session going past the
+                # window (reference sink_cache behavior).
+                from metalchat_tpu.cache import roll_kv_cache
+
+                shift = max(1, (self.max_seq_len - self.sink_tokens) // 4)
+                self.cache = roll_kv_cache(self.cache, self.sink_tokens, shift)
+                self.pos -= shift
+                exhausted = False
+            if not self.scanner.scan(token) or exhausted:
                 # Account the stop token into the context then end the turn.
                 self._buffer.append(token) if token in self.stop_ids else None
                 return

@@ -37,6 +37,7 @@ from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.engine.paged import PageAllocator
 from metalchat_tpu.models.transformer import Cache, Params, forward
 from metalchat_tpu.sampling import SamplerConfig, sample_batched
+from metalchat_tpu.utils import Meter
 
 
 @dataclass
@@ -131,6 +132,8 @@ class ContinuousBatchingEngine:
         self._free: List[int] = list(range(max_slots))
         self._ids = itertools.count()
         self._completions: Dict[int, Completion] = {}
+        self.meter = Meter()
+        self.meter.start()
 
         cfg = config
 
@@ -227,6 +230,13 @@ class ContinuousBatchingEngine:
         while self.has_work:
             self.step()
         return {rid: self._completions[rid] for rid in ids}
+
+    def metrics(self) -> Dict[str, float]:
+        """Aggregate serving metrics (tokens/s, TTFT p50/p99) — SURVEY §5."""
+        self.meter.stop()
+        out = self.meter.summary()
+        self.meter.start()
+        return out
 
     def completion(self, request_id: int) -> Completion:
         return self._completions[request_id]
@@ -350,6 +360,7 @@ class ContinuousBatchingEngine:
             completion.finish_reason = (
                 "eos" if done_eos else ("length" if done_len else "cache_full")
             )
+            self.meter.record_request(completion.ttft, len(completion.tokens))
             self._release(slot_id)
         return [(slot.request.request_id, token)]
 

@@ -42,7 +42,11 @@ def initialize(
     Defaults come from the standard env (JAX_COORDINATOR_ADDRESS,
     JAX_NUM_PROCESSES, JAX_PROCESS_ID) or cloud metadata autodetection.
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist
+
+    # Must not touch the XLA backend before distributed init — probe the
+    # coordination client directly instead of jax.process_count().
+    if _dist.global_state.client is not None:
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:
