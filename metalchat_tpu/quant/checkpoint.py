@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.io.safetensors import SafetensorsDocument
 from metalchat_tpu.models.transformer import Params, make_rope_tables
-from metalchat_tpu.quant.quantize import LoraLinear, QuantizedTensor
+from metalchat_tpu.quant.quantize import (
+    LoraLinear,
+    QuantizedTensor,
+    auto_orient,
+    with_orientation,
+)
 
 _HF_NAMES = {
     "wq": "self_attn.q_proj",
@@ -61,6 +66,7 @@ def export_quantized(params: Params, config: ModelConfig) -> tuple[Dict[str, np.
             tensors[prefix + ".lora_b"] = sel(leaf.b)
             meta.setdefault("lora_scale", str(leaf.scale))
         elif isinstance(leaf, QuantizedTensor):
+            leaf = with_orientation(leaf, False)  # canonical on-disk layout
             tensors[prefix + ".qweight"] = sel(leaf.q)
             tensors[prefix + ".scales"] = sel(leaf.scales)
             meta.setdefault("bits", str(leaf.bits))
@@ -116,8 +122,8 @@ def load_quantized(
 
         probe = (f"model.layers.0.{prefix}" if stack else prefix)
         if probe + ".qweight" in doc:
-            qt = QuantizedTensor(q=get(".qweight"), scales=get(".scales"),
-                                 bits=bits, group_size=group)
+            qt = auto_orient(QuantizedTensor(q=get(".qweight"), scales=get(".scales"),
+                                             bits=bits, group_size=group))
             if probe + ".lora_a" in doc:
                 return LoraLinear(base=qt, a=get(".lora_a"), b=get(".lora_b"),
                                   scale=lora_scale)
@@ -207,11 +213,11 @@ def load_reference_qlora(
             ss.append(t(doc[p + ".scales"]))
             As.append(t(doc[p + ".adaptor.A.weight"]))
             Bs.append(t(doc[p + ".adaptor.B.weight"]))
-        qt = QuantizedTensor(
+        qt = auto_orient(QuantizedTensor(
             q=jnp.asarray(np.stack(qs)),
             scales=jnp.asarray(np.stack(ss), jnp.float32),
             bits=bits, group_size=group_size,
-        )
+        ))
         return LoraLinear(base=qt, a=jnp.asarray(np.stack(As)).astype(dtype),
                           b=jnp.asarray(np.stack(Bs)).astype(dtype), scale=lora_scale)
 

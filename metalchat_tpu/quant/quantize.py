@@ -37,26 +37,37 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "scales"],
-    meta_fields=["bits", "group_size"],
+    meta_fields=["bits", "group_size", "transposed"],
 )
 @dataclass
 class QuantizedTensor:
     """Groupwise-quantized 2-D weight (leaves may carry a leading stacked
-    layer axis [L, ...] for the scan-over-layers model)."""
+    layer axis [L, ...] for the scan-over-layers model).
 
-    q: jax.Array        # int8 [(L,) in, out]  (int4: [(L,) in//2, out] packed)
-    scales: jax.Array   # f32/bf16 [(L,) in//group, out]
+    Storage orientation (`transposed`) is a pure performance choice — groups
+    always run along the logical in-features axis:
+      * transposed=False: q [(L,) in(/2), out], scales [(L,) in/g, out]
+      * transposed=True:  q [(L,) out, in(/2)], scales [(L,) out, in/g]
+    Wide-output matvecs ([1,K]·[K,N], N≫K — FFN up-projections, lm_head)
+    lower to VPU multiply-reduce with materialized broadcasts on TPU in the
+    natural orientation; storing them transposed keeps the dequant fused
+    (profiled on v5e: the 8B decode's dominant cost).
+    """
+
+    q: jax.Array
+    scales: jax.Array
     bits: int = 8
     group_size: int = 32
+    transposed: bool = False
 
     @property
     def in_features(self) -> int:
-        n = self.q.shape[-2]
+        n = self.q.shape[-1] if self.transposed else self.q.shape[-2]
         return n * 2 if self.bits == 4 else n
 
     @property
     def out_features(self) -> int:
-        return self.q.shape[-1]
+        return self.q.shape[-2] if self.transposed else self.q.shape[-1]
 
 
 @partial(
@@ -102,8 +113,10 @@ def quantize(
     bits: int = 8,
     group_size: int = 32,
     scales_dtype=jnp.float32,
+    transposed: bool = False,
 ) -> QuantizedTensor:
-    """Symmetric groupwise quantization of an [in, out] weight."""
+    """Symmetric groupwise quantization of an [in, out] weight (groups along
+    in-features; `transposed` selects the storage orientation)."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     w = np.asarray(w, np.float32)
@@ -124,22 +137,49 @@ def quantize(
     q = q.reshape(w.shape)
     if bits == 4:
         q = _pack_int4(q)
+    sc = scales.squeeze(-2)
+    if transposed:
+        q = np.ascontiguousarray(np.swapaxes(q, -1, -2))
+        sc = np.ascontiguousarray(np.swapaxes(sc, -1, -2))
     return QuantizedTensor(
         q=jnp.asarray(q),
-        scales=jnp.asarray(scales.squeeze(-2), scales_dtype),
+        scales=jnp.asarray(sc, scales_dtype),
         bits=bits,
         group_size=group_size,
+        transposed=transposed,
     )
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Materialize the dense weight (tests / the reference's one-time-dequant
-    path, quantization/linear.h:50-54)."""
+    """Materialize the dense [in, out] weight (tests / the reference's
+    one-time-dequant path, quantization/linear.h:50-54)."""
+    if qt.transposed:
+        qt = QuantizedTensor(
+            q=jnp.swapaxes(qt.q, -1, -2), scales=jnp.swapaxes(qt.scales, -1, -2),
+            bits=qt.bits, group_size=qt.group_size, transposed=False,
+        )
     q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
     shape = q.shape
     grouped = q.reshape(*shape[:-2], shape[-2] // qt.group_size, qt.group_size, shape[-1])
     deq = grouped.astype(jnp.float32) * qt.scales.astype(jnp.float32)[..., :, None, :]
     return deq.reshape(shape).astype(dtype)
+
+
+def with_orientation(qt: QuantizedTensor, transposed: bool) -> QuantizedTensor:
+    """Convert a QuantizedTensor's storage orientation (no numeric change)."""
+    if qt.transposed == transposed:
+        return qt
+    return QuantizedTensor(
+        q=jnp.swapaxes(qt.q, -1, -2),
+        scales=jnp.swapaxes(qt.scales, -1, -2),
+        bits=qt.bits, group_size=qt.group_size, transposed=transposed,
+    )
+
+
+def auto_orient(qt: QuantizedTensor) -> QuantizedTensor:
+    """Pick the storage orientation by shape: wide-output weights (out > in)
+    are stored transposed (see QuantizedTensor docstring for why)."""
+    return with_orientation(qt, qt.out_features > qt.in_features)
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
@@ -155,6 +195,8 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     dtype = x.dtype
     scales = qt.scales.astype(dtype)
     g = qt.group_size
+    if qt.transposed:
+        return _quant_matmul_transposed(x, qt, scales)
     if qt.bits == 8:
         q = qt.q
         in_features, out_features = q.shape[-2:]
@@ -185,6 +227,38 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     out = jax.lax.dot_general(x[..., :half], w_lo, dims,
                               preferred_element_type=jnp.float32)
     out = out + jax.lax.dot_general(x[..., half:], w_hi, dims,
+                                    preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def _quant_matmul_transposed(x: jax.Array, qt: QuantizedTensor, scales) -> jax.Array:
+    """quant_matmul for transposed storage: contract on the last dim of both
+    operands (keeps wide-output matvecs in the fused fast path on TPU)."""
+    dtype = x.dtype
+    g = qt.group_size
+    dims = lambda: (((x.ndim - 1,), (1,)), ((), ()))  # noqa: E731
+    if qt.bits == 8:
+        q = qt.q  # [out, in]
+        out_features, in_features = q.shape[-2:]
+        n_groups = in_features // g
+        w = (q.astype(dtype).reshape(out_features, n_groups, g)
+             * scales[..., :, :, None]).reshape(out_features, in_features)
+        out = jax.lax.dot_general(x, w, dims(), preferred_element_type=jnp.float32)
+        return out.astype(dtype)
+    packed = qt.q  # [out, in/2], half-split along in
+    out_features, half = packed.shape[-2:]
+    half_groups = half // g
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
+    hi = jnp.right_shift(p32, 4)
+    s_lo, s_hi = scales[..., :half_groups], scales[..., half_groups:]
+    w_lo = (lo.astype(dtype).reshape(out_features, half_groups, g)
+            * s_lo[..., :, :, None]).reshape(out_features, half)
+    w_hi = (hi.astype(dtype).reshape(out_features, half_groups, g)
+            * s_hi[..., :, :, None]).reshape(out_features, half)
+    out = jax.lax.dot_general(x[..., :half], w_lo, dims(),
+                              preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(x[..., half:], w_hi, dims(),
                                     preferred_element_type=jnp.float32)
     return out.astype(dtype)
 
@@ -224,7 +298,7 @@ def _maybe_pallas(x: jax.Array, qt: QuantizedTensor):
 
     if not os.environ.get("METALCHAT_TPU_QUANT_KERNEL"):
         return None
-    if not use_pallas() or qt.q.ndim != 2:
+    if not use_pallas() or qt.q.ndim != 2 or qt.transposed:
         return None
     lead = int(np.prod(x.shape[:-1]))
     if lead > 32:  # prefill: MXU-bound, the einsum path is fine
@@ -289,10 +363,15 @@ def init_random_quantized_params(
     def qlin(k, in_f, out_f, stack=True):
         k1, k2 = jax.random.split(k)
         lead = (L,) if stack else ()
-        q = jax.random.randint(k1, lead + (in_f // pack, out_f), -127, 128, jnp.int8)
-        s = (jax.random.uniform(k2, lead + (in_f // group_size, out_f)) * 0.01 + 0.001)
+        transposed = out_f > in_f
+        if transposed:
+            q = jax.random.randint(k1, lead + (out_f, in_f // pack), -127, 128, jnp.int8)
+            s = (jax.random.uniform(k2, lead + (out_f, in_f // group_size)) * 0.01 + 0.001)
+        else:
+            q = jax.random.randint(k1, lead + (in_f // pack, out_f), -127, 128, jnp.int8)
+            s = (jax.random.uniform(k2, lead + (in_f // group_size, out_f)) * 0.01 + 0.001)
         return QuantizedTensor(q=q, scales=s.astype(scales_dtype), bits=bits,
-                               group_size=group_size)
+                               group_size=group_size, transposed=transposed)
 
     keys = iter(jax.random.split(key, 12))
     layers = {
@@ -344,13 +423,14 @@ def quantize_params(
     out["layers"] = dict(params["layers"])
     for name in targets:
         if name in out["layers"]:
-            out["layers"][name] = quantize(
+            out["layers"][name] = auto_orient(quantize(
                 out["layers"][name], bits=bits, group_size=group_size,
                 scales_dtype=scales_dtype,
-            )
+            ))
     if quantize_lm_head:
-        out["lm_head"] = quantize(params["lm_head"], bits=bits, group_size=group_size,
-                                  scales_dtype=scales_dtype)
+        out["lm_head"] = auto_orient(quantize(
+            params["lm_head"], bits=bits, group_size=group_size,
+            scales_dtype=scales_dtype))
     if quantize_embed:
         # Row-quantized: treat [V, H] as out-major by quantizing its transpose
         # groupwise along H, then storing row-major again.
