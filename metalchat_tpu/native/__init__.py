@@ -103,15 +103,18 @@ class NativeMmap:
         )
 
     def close(self) -> None:
+        """Unmap explicitly. NOTE: invalidates every outstanding view.
+
+        There is deliberately NO automatic close on GC: numpy views and jax's
+        *asynchronous* host reads (device_put) may outlive this handle, and
+        munmapping under them corrupts loads / segfaults (observed: garbage
+        logits when the document was a temporary). Weight mappings otherwise
+        live until process exit — the same posture as the reference's
+        process-lifetime resident buffers.
+        """
         if self._handle:
             self._lib.mc_mmap_close(self._handle)
             self._handle = None
-
-    def __del__(self):  # pragma: no cover
-        try:
-            self.close()
-        except Exception:
-            pass
 
 
 class NativeBPE:
