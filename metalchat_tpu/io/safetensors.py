@@ -313,6 +313,47 @@ def open_safetensors(path: str | Path) -> SafetensorsDocument:
     return SafetensorsDocument.open(path)
 
 
+def save_sharded_safetensors(
+    directory: str | Path,
+    tensors: Mapping[str, np.ndarray],
+    *,
+    max_shard_bytes: int = 5 * 1024**3,
+    metadata: Optional[Mapping[str, str]] = None,
+) -> Path:
+    """Write a sharded checkpoint + ``model.safetensors.index.json``.
+
+    The reference reads sharded indexes but only writes consolidated files
+    (SURVEY.md §5 checkpoint: "sharded-index read (but consolidated-only
+    write)"); large TPU checkpoints want bounded shard sizes for parallel
+    upload, so the writer is symmetric here. Returns the index path.
+    """
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    shards: list[Dict[str, np.ndarray]] = [{}]
+    sizes = [0]
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        if sizes[-1] and sizes[-1] + arr.nbytes > max_shard_bytes:
+            shards.append({})
+            sizes.append(0)
+        shards[-1][name] = arr
+        sizes[-1] += arr.nbytes
+    n = len(shards)
+    weight_map: Dict[str, str] = {}
+    for i, shard in enumerate(shards):
+        fname = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+        save_safetensors(directory / fname, shard, metadata)
+        for name in shard:
+            weight_map[name] = fname
+    index = {
+        "metadata": {"total_size": int(sum(sizes))},
+        "weight_map": weight_map,
+    }
+    index_path = directory / "model.safetensors.index.json"
+    index_path.write_text(json.dumps(index, indent=2))
+    return index_path
+
+
 def save_safetensors(
     path: str | Path,
     tensors: Mapping[str, np.ndarray],

@@ -124,3 +124,17 @@ def test_byte_span_validation():
     blob = len(header).to_bytes(8, "little") + header + b"\x00" * 8
     with pytest.raises(ValueError, match="byte span"):
         parse_header(blob)
+
+
+def test_sharded_write_roundtrip(tmp_path):
+    """save_sharded_safetensors → open_safetensors consolidates back."""
+    from metalchat_tpu.io.safetensors import save_sharded_safetensors
+
+    tensors = {f"w{i}": _rand((64, 64), seed=i) for i in range(6)}  # 16KB each
+    index = save_sharded_safetensors(tmp_path, tensors, max_shard_bytes=40_000)
+    assert index.name == "model.safetensors.index.json"
+    shards = list(tmp_path.glob("model-*.safetensors"))
+    assert len(shards) >= 3  # forced sharding
+    doc = open_safetensors(tmp_path)
+    for name, ref in tensors.items():
+        np.testing.assert_array_equal(doc[name], ref)
