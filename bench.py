@@ -82,6 +82,7 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--steps-lo", type=int, default=16)
     parser.add_argument("--steps-hi", type=int, default=144)
+    parser.add_argument("--mode", choices=["decode", "prefill"], default="decode")
     args = parser.parse_args()
 
     import functools
@@ -97,6 +98,32 @@ def main() -> None:
     max_seq = cfg.max_seq_len
     cls = QuantizedKVCache if quantized_kv else KVCache
     prompt = jnp.ones((args.batch, 16), jnp.int32)
+
+    if args.mode == "prefill":
+        # Prefill throughput: marginal tokens/s between a short and a long
+        # prompt through the same flash-attention prefill path.
+        lo_len, hi_len = 128, max_seq - 128
+
+        def run_prefill(n: int) -> float:
+            cache = cls.create(cfg, args.batch, max_seq)
+            toks = jnp.ones((args.batch, n), jnp.int32)
+            t0 = time.perf_counter()
+            logits, _ = jax.jit(forward, static_argnames="config")(
+                params, cache, toks, 0, cfg
+            )
+            np.asarray(logits[:, -1, :8])
+            return time.perf_counter() - t0
+
+        run_prefill(lo_len)
+        run_prefill(hi_len)
+        lo = min(run_prefill(lo_len) for _ in range(2))
+        hi = min(run_prefill(hi_len) for _ in range(2))
+        tps = args.batch * (hi_len - lo_len) / (hi - lo)
+        print(json.dumps({
+            "metric": f"llama_{args.config}_prefill_tokens_per_sec",
+            "value": round(tps, 2), "unit": "tokens/s", "vs_baseline": 0.0,
+        }))
+        return
 
     # One compiled program with a *dynamic* step count (fori_loop): the
     # lo/hi runs reuse the same executable, so only the decode steps differ.
