@@ -134,6 +134,67 @@ def _cmd_checkout(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """Batch-serve prompts: JSONL in → JSONL out through the
+    continuous-batching engine (one line: {"prompt": "...", "max_tokens": N,
+    "temperature": T, "top_k": K, "top_p": P})."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from metalchat_tpu.engine.serving import ContinuousBatchingEngine, Request
+    from metalchat_tpu.sampling import SamplerConfig
+    from metalchat_tpu.text.tokenizer import TokenKind
+
+    session = _load_session(args.model, args)
+    tokenizer = session.tokenizer
+    config = session.config
+    specials = getattr(tokenizer, "specials", None)
+    stop_kinds = TokenKind.END_TEXT | TokenKind.END_TURN | TokenKind.END_MESSAGE
+    eos_ids = tuple(specials.ids_with_kind(stop_kinds)) if specials else ()
+
+    engine = ContinuousBatchingEngine(
+        session.params, config,
+        max_slots=args.slots, max_seq_len=args.max_seq_len or config.max_seq_len,
+        cache_mode="paged" if args.paged else "dense",
+        quantized_kv=args.quantized_kv,
+    )
+    requests = []
+    texts = {}
+    source = open(args.input) if args.input else sys.stdin
+    for line in source:
+        line = line.strip()
+        if not line:
+            continue
+        spec = _json.loads(line)
+        prompt_ids = tokenizer.encode(spec["prompt"], allow_special=True)
+        req = Request(
+            prompt=prompt_ids,
+            max_new_tokens=int(spec.get("max_tokens", args.max_tokens)),
+            sampler=SamplerConfig(
+                temperature=float(spec.get("temperature", 0.0)),
+                top_k=int(spec.get("top_k", 0)),
+                top_p=float(spec.get("top_p", 1.0)),
+            ),
+            eos_ids=eos_ids,
+        )
+        requests.append(req)
+        texts[id(req)] = spec["prompt"]
+    out = engine.run(requests)
+    for req in requests:
+        completion = out[req.request_id]
+        sys.stdout.write(_json.dumps({
+            "prompt": texts[id(req)],
+            "text": tokenizer.decode(completion.tokens),
+            "tokens": len(completion.tokens),
+            "finish_reason": completion.finish_reason,
+            "ttft_s": completion.ttft,
+        }) + "\n")
+    summary = engine.metrics()
+    print(f"served {len(requests)} requests: {summary}", file=sys.stderr)
+    return 0
+
+
 def _cmd_model(args) -> int:
     store = ModelStore()
     if args.action == "pull":
@@ -238,6 +299,14 @@ def build_parser() -> argparse.ArgumentParser:
     checkout = sub.add_parser("checkout", help="interactive chat")
     add_infer_args(checkout)
     checkout.set_defaults(fn=_cmd_checkout)
+
+    serve = sub.add_parser("serve", help="batch-serve JSONL prompts")
+    add_infer_args(serve)
+    serve.add_argument("--input", default=None, help="JSONL file (default stdin)")
+    serve.add_argument("--slots", type=int, default=8)
+    serve.add_argument("--paged", action="store_true")
+    serve.add_argument("--quantized-kv", action="store_true")
+    serve.set_defaults(fn=_cmd_serve)
 
     model = sub.add_parser("model", help="manage models")
     msub = model.add_subparsers(dest="action", required=True)

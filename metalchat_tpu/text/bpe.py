@@ -190,7 +190,11 @@ class BytePairEncoder:
             raise ValueError(f"unknown token id {token_id}") from None
 
     def decode_bytes(self, ids: Sequence[int]) -> bytes:
-        return b"".join(self.token_bytes(t) for t in ids)
+        """Lenient decode: ids outside the vocab (e.g. a model whose
+        vocab_size exceeds the tokenizer's, or reserved ids) render as
+        U+FFFD instead of raising — generation must never crash on decode."""
+        replacement = "\ufffd".encode("utf-8")
+        return b"".join(self._id_to_bytes.get(t, replacement) for t in ids)
 
     def decode(self, ids: Sequence[int]) -> str:
         return self.decode_bytes(ids).decode("utf-8", "replace")

@@ -70,5 +70,15 @@ class SentencePieceTokenizer:
         raw = self._bpe.token_bytes(token_id)
         return raw.replace(WHITESPACE.encode("utf-8"), b" ")
 
+    def decode_bytes(self, ids: Sequence[int]) -> bytes:
+        rep = "\ufffd".encode("utf-8")
+        out = []
+        for t in ids:
+            try:
+                out.append(self.token_bytes(t))
+            except ValueError:
+                out.append(rep)
+        return b"".join(out)
+
     def decode(self, ids: Sequence[int]) -> str:
-        return b"".join(self.token_bytes(t) for t in ids).decode("utf-8", "replace")
+        return self.decode_bytes(ids).decode("utf-8", "replace")

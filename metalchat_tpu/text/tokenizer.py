@@ -95,7 +95,11 @@ class StreamingDecoder:
         self._decoder = codecs.getincrementaldecoder("utf-8")("replace")
 
     def feed(self, token_id: int) -> str:
-        return self._decoder.decode(self._tokenizer.token_bytes(token_id))
+        try:
+            raw = self._tokenizer.token_bytes(token_id)
+        except ValueError:
+            raw = "\ufffd".encode("utf-8")  # out-of-vocab id: never crash
+        return self._decoder.decode(raw)
 
     def flush(self) -> str:
         return self._decoder.decode(b"", final=True)

@@ -173,3 +173,24 @@ def test_cli_prompt_quantized(fake_checkout, store_home, capsys):
 def test_cli_unknown_model(store_home):
     with pytest.raises(SystemExit, match="not found"):
         main(["prompt", "missing", "-c", "x"])
+
+
+def test_cli_serve_jsonl(fake_checkout, store_home, tmp_path, capsys):
+    """serve: JSONL prompts → continuous batching → JSONL completions."""
+    import json as _json
+
+    assert main(["model", "pull", str(fake_checkout), "--name", "tiny"]) == 0
+    capsys.readouterr()
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(
+        _json.dumps({"prompt": "hello", "max_tokens": 3}) + "\n"
+        + _json.dumps({"prompt": "bye", "max_tokens": 2, "temperature": 0.9}) + "\n"
+    )
+    rc = main(["serve", "tiny", "--input", str(reqs), "--slots", "2",
+               "--max-tokens", "3"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    first = _json.loads(lines[0])
+    assert first["prompt"] == "hello" and first["tokens"] == 3
+    assert _json.loads(lines[1])["tokens"] == 2
