@@ -1,0 +1,368 @@
+"""Microbenchmark: quantized matvec formulations on the real chip.
+
+Measures effective HBM bandwidth of decode-shaped quantized matmuls
+(batch=1 matvec over 8B-scale FFN weights) for competing dequant
+formulations. Timing per CLAUDE.md: marginal cost between a short and a
+long scan over stacked weights of the SAME formulation — the fixed ~1.7 s
+tunnel latency cancels; weights are passed as jit args (no constant
+folding); a host transfer forces completion.
+
+Run: timeout 1200 python benchmarks/quant_microbench.py [--variants a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K, N = 4096, 14336  # Llama-8B FFN up-projection
+G = 32              # group size
+L_LO, L_HI = 2, 10  # stacked layer counts for the marginal measurement
+
+
+M_REPEATS = 30  # outer repeats of the layer scan (amplifies signal vs jitter)
+
+
+def scan_matvec(step):
+    """fn(x, stacked_pytree) -> [1,K]: M_REPEATS × scan over stacked layers."""
+
+    def fn(x, weights):
+        def body(carry, w):
+            y = step(carry, w)
+            # Consume EVERY output column (sum over N) — otherwise XLA
+            # slices the dot to just the consumed columns and the "matvec"
+            # reads a handful of weight columns. Feed the scalar back into
+            # the carry so layers stay sequential.
+            s = jnp.sum(y.astype(jnp.float32))
+            return carry + (s * 1e-30).astype(carry.dtype), None
+
+        def outer(i, carry):
+            carry, _ = jax.lax.scan(body, carry, weights)
+            return carry
+
+        return jax.lax.fori_loop(0, M_REPEATS, outer, x)
+
+    return jax.jit(fn)
+
+
+# ---- variants --------------------------------------------------------------
+
+def v_int8_weightscale(x, w):
+    """Current production int8 path: scale folded into weight operand."""
+    q, s = w
+    wd = (q.astype(x.dtype).reshape(K // G, G, N) * s[:, None, :]).reshape(K, N)
+    return jax.lax.dot_general(x, wd, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def v_int8_partialscale(x, w):
+    """int8, convert-only weights; scales applied to [G?] no — to group
+    partial sums: y = sum_G s[G,:] * (x_G @ q_G). 32x fewer scale mults."""
+    q, s = w
+    xg = x.reshape(1, K // G, G)
+    qg = q.reshape(K // G, G, N).astype(x.dtype)
+    partials = jnp.einsum("bgk,gkn->bgn", xg, qg,
+                          preferred_element_type=jnp.float32)
+    return jnp.sum(partials * s[None].astype(jnp.float32), axis=1)
+
+
+def v_int8_xscale(x, w):
+    """int8: fold scales into x? impossible exactly (scales vary over out),
+    but test folding group scale into x for the *common* part with per-out
+    residual — skipped; placeholder = weightscale with bf16 scales."""
+    q, s = w
+    wd = (q.astype(x.dtype).reshape(K // G, G, N) * s.astype(x.dtype)[:, None, :]).reshape(K, N)
+    return jax.lax.dot_general(x, wd, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def v_int4_current(x, w):
+    """Current int4: half-split packed int8, i32 nibble extract, two dots."""
+    p, s = w
+    half = K // 2
+    hg = half // G
+    p32 = p.astype(jnp.int32)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
+    hi = jnp.right_shift(p32, 4)
+    w_lo = (lo.astype(x.dtype).reshape(hg, G, N) * s[:hg, None, :]).reshape(half, N)
+    w_hi = (hi.astype(x.dtype).reshape(hg, G, N) * s[hg:, None, :]).reshape(half, N)
+    dims = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(x[:, :half], w_lo, dims, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(x[:, half:], w_hi, dims, preferred_element_type=jnp.float32))
+
+
+def v_int4_native(x, w):
+    """Native jnp.int4 storage: XLA packs 2/byte; convert fused into dot."""
+    q4, s = w
+    wd = (q4.astype(x.dtype).reshape(K // G, G, N) * s[:, None, :]).reshape(K, N)
+    return jax.lax.dot_general(x, wd, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def v_int4_native_partial(x, w):
+    """Native int4 + partial-sum scaling (no per-element scale mult)."""
+    q4, s = w
+    xg = x.reshape(1, K // G, G)
+    qg = q4.reshape(K // G, G, N).astype(x.dtype)
+    partials = jnp.einsum("bgk,gkn->bgn", xg, qg,
+                          preferred_element_type=jnp.float32)
+    return jnp.sum(partials * s[None].astype(jnp.float32), axis=1)
+
+
+def v_int4_partial(x, w):
+    """Packed int4, i32 extract, partial-sum scaling."""
+    p, s = w
+    half = K // 2
+    hg = half // G
+    p32 = p.astype(jnp.int32)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
+    hi = jnp.right_shift(p32, 4)
+    xg_lo = x[:, :half].reshape(1, hg, G)
+    xg_hi = x[:, half:].reshape(1, hg, G)
+    pl = jnp.einsum("bgk,gkn->bgn", xg_lo, lo.astype(x.dtype).reshape(hg, G, N),
+                    preferred_element_type=jnp.float32)
+    ph = jnp.einsum("bgk,gkn->bgn", xg_hi, hi.astype(x.dtype).reshape(hg, G, N),
+                    preferred_element_type=jnp.float32)
+    return (jnp.sum(pl * s[None, :hg].astype(jnp.float32), axis=1)
+            + jnp.sum(ph * s[None, hg:].astype(jnp.float32), axis=1))
+
+
+def v_w8a8_mxu(x, w):
+    """Dynamic activation quant + s8xs8->s32 MXU dot, group partials scaled.
+
+    y = sx * sum_G s[G,:] * (xq_G @ q_G)   (int32 partials)
+    """
+    q, s = w
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    xg = xq.reshape(1, K // G, G)
+    qg = q.reshape(K // G, G, N)
+    partials = jnp.einsum("bgk,gkn->bgn", xg, qg,
+                          preferred_element_type=jnp.int32)
+    y = jnp.sum(partials.astype(jnp.float32) * s[None].astype(jnp.float32), axis=1)
+    return y * sx.astype(jnp.float32)
+
+
+def v_w8a8_flat(x, w):
+    """w8a8 with a SINGLE flat s8 dot (no group partials): per-out scale only.
+
+    Upper bound for int8 MXU bandwidth (numerics = per-tensor weight scale).
+    """
+    q, s = w
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (sx * s[0])[None].astype(jnp.float32)
+
+
+def v_w4a8_flat(x, w):
+    """Packed int4 → int8 nibbles (no scale mult, no float convert) → two
+    flat s8×s8 MXU dots → one post-scale. Exact for per-channel scales."""
+    p, s = w
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    p32 = p.astype(jnp.int32)
+    lo = (jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8).astype(jnp.int8)
+    hi = jnp.right_shift(p32, 4).astype(jnp.int8)
+    dims = (((1,), (0,)), ((), ()))
+    acc = (jax.lax.dot_general(xq[:, :half], lo, dims, preferred_element_type=jnp.int32)
+           + jax.lax.dot_general(xq[:, half:], hi, dims, preferred_element_type=jnp.int32))
+    return acc.astype(jnp.float32) * (sx * s[0].astype(jnp.float32))[None]
+
+
+def v_w4a8_flat_i8shift(x, w):
+    """Same but nibble extraction in int8 domain (shift-based sign extend)."""
+    p, s = w
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    dims = (((1,), (0,)), ((), ()))
+    acc = (jax.lax.dot_general(xq[:, :half], lo, dims, preferred_element_type=jnp.int32)
+           + jax.lax.dot_general(xq[:, half:], hi, dims, preferred_element_type=jnp.int32))
+    return acc.astype(jnp.float32) * (sx * s[0].astype(jnp.float32))[None]
+
+
+def v_w4a8_group(x, w):
+    """W4A8 with EXACT group-32 scales: int8 MXU partials per group pair?
+    (expected slow — control for the einsum lowering)."""
+    p, s = w
+    half = K // 2
+    hg = half // G
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    p32 = p.astype(jnp.int32)
+    lo = (jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8).astype(jnp.int8)
+    hi = jnp.right_shift(p32, 4).astype(jnp.int8)
+    pl = jnp.einsum("bgk,gkn->bgn", xq[:, :half].reshape(1, hg, G),
+                    lo.reshape(hg, G, N), preferred_element_type=jnp.int32)
+    ph = jnp.einsum("bgk,gkn->bgn", xq[:, half:].reshape(1, hg, G),
+                    hi.reshape(hg, G, N), preferred_element_type=jnp.int32)
+    y = (jnp.sum(pl.astype(jnp.float32) * s[None, :hg].astype(jnp.float32), axis=1)
+         + jnp.sum(ph.astype(jnp.float32) * s[None, hg:].astype(jnp.float32), axis=1))
+    return y * sx
+
+
+def v_readonly_int8(x, w):
+    """Pure-read ceiling: just reduce the int8 bytes (no dequant, no dot)."""
+    q, s = w
+    return jnp.sum(q, dtype=jnp.int32).reshape(1, 1) * jnp.float32(1e-9) + jnp.zeros((1, N), jnp.float32)
+
+
+def v_int8_bitcast(x, w):
+    """int8→f32 via exponent-bias bit trick (no int→float convert):
+    f32 bits 0x4B000000 | (q+128) == 8388608 + q + 128 exactly."""
+    q, s = w
+    u = (q.astype(jnp.uint8).astype(jnp.uint32) ^ 128) | jnp.uint32(0x4B000000)
+    wf = jax.lax.bitcast_convert_type(u, jnp.float32) - (8388608.0 + 128.0)
+    wd = (wf.astype(x.dtype).reshape(K // G, G, N) * s[:, None, :]).reshape(K, N)
+    return jax.lax.dot_general(x, wd, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def v_int4_bitcast(x, w):
+    """Packed int4 → bf16 via mantissa bit trick: bf16 bits 0x4300 | n ==
+    128 + n for n in [0,16); two halves, no integer widening to i32."""
+    p, s = w
+    half = K // 2
+    hg = half // G
+    u16 = p.astype(jnp.uint8).astype(jnp.uint16)
+    # Two's-complement nibble n = q mod 16; (n ^ 8) = q + 8 (offset-binary)
+    # for every q in [-8, 8). bf16 bits 0x4300 | m == 128 + m exactly for
+    # m in [0, 128) (7 mantissa bits at exponent 2^7), so the dequantized
+    # value is bitcast(0x4300 | (n^8)) - 136 with NO int→float convert.
+    lo_bits = ((u16 & jnp.uint16(0x000F)) ^ jnp.uint16(8)) | jnp.uint16(0x4300)
+    hi_bits = (((u16 >> 4) & jnp.uint16(0x000F)) ^ jnp.uint16(8)) | jnp.uint16(0x4300)
+    lo_f = jax.lax.bitcast_convert_type(lo_bits, jnp.bfloat16) - 136.0
+    hi_f = jax.lax.bitcast_convert_type(hi_bits, jnp.bfloat16) - 136.0
+    w_lo = (lo_f.astype(x.dtype).reshape(hg, G, N) * s[:hg, None, :]).reshape(half, N)
+    w_hi = (hi_f.astype(x.dtype).reshape(hg, G, N) * s[hg:, None, :]).reshape(half, N)
+    dims = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(x[:, :half], w_lo, dims, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(x[:, half:], w_hi, dims, preferred_element_type=jnp.float32))
+
+
+def v_fp8(x, w):
+    """fp8 e4m3 storage, convert fused into dot, group scales on weights."""
+    q, s = w
+    wd = (q.astype(x.dtype).reshape(K // G, G, N) * s[:, None, :]).reshape(K, N)
+    return jax.lax.dot_general(x, wd, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _make_weights_jit(kind, L, key):
+    ks = jax.random.split(key, 2)
+    s = (jax.random.uniform(ks[1], (L, K // G, N)) * 0.01 + 0.001).astype(jnp.bfloat16)
+    if kind == "int8":
+        q = jax.random.bits(ks[0], (L, K, N), jnp.uint8).astype(jnp.int8)
+    elif kind == "int4packed":
+        q = jax.random.bits(ks[0], (L, K // 2, N), jnp.uint8).astype(jnp.int8)
+    elif kind == "int4native":
+        q = (jax.random.bits(ks[0], (L, K, N), jnp.uint8) % 15).astype(jnp.int8) - 7
+        q = q.astype(jnp.int4)
+    elif kind == "fp8":
+        q = (jax.random.bits(ks[0], (L, K, N), jnp.uint8).astype(jnp.bfloat16)
+             * 0.01).astype(jnp.float8_e4m3fn)
+    else:
+        raise ValueError(kind)
+    return q, s
+
+
+def make_weights(kind, L, key):
+    q, s = _make_weights_jit(kind, L, key)
+    per_layer = {"int8": K * N, "int4packed": K // 2 * N,
+                 "int4native": K * N // 2, "fp8": K * N}[kind]
+    return (q, s), L * (per_layer + s[0].size * 2)
+
+
+def v_w4a8_groupmult(x, w):
+    """W4A8 keeping group granularity: nibble -> int8, multiply by a small
+    per-group int multiplier m[G,o] (in i32 domain before narrowing), flat
+    s8 dot, post-scale by per-channel s_col. Implied weight =
+    q4 * m[G,o] * s_col[o] ~= q4 * s[G,o] with m = round(s/s_col) in [1,15].
+    Here m is random int8 [1,15] (cost model only)."""
+    p, s = w
+    half = K // 2
+    hg = half // G
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    m = (jnp.abs(s.astype(jnp.int32)) % 15 + 1).astype(jnp.int32)  # [K//G, N]
+    p32 = p.astype(jnp.int32)
+    lo = (jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8)
+    hi = jnp.right_shift(p32, 4)
+    lo8 = (lo.reshape(hg, G, N) * m[:hg, None, :]).reshape(half, N).astype(jnp.int8)
+    hi8 = (hi.reshape(hg, G, N) * m[hg:, None, :]).reshape(half, N).astype(jnp.int8)
+    dims = (((1,), (0,)), ((), ()))
+    acc = (jax.lax.dot_general(xq[:, :half], lo8, dims, preferred_element_type=jnp.int32)
+           + jax.lax.dot_general(xq[:, half:], hi8, dims, preferred_element_type=jnp.int32))
+    return acc.astype(jnp.float32) * (sx * 0.01)
+
+
+VARIANTS = {
+    "int8_weightscale": (v_int8_weightscale, "int8"),
+    "int8_partialscale": (v_int8_partialscale, "int8"),
+    "int8_bitcast": (v_int8_bitcast, "int8"),
+    "int4_current": (v_int4_current, "int4packed"),
+    "int4_partial": (v_int4_partial, "int4packed"),
+    "int4_bitcast": (v_int4_bitcast, "int4packed"),
+    "int4_native": (v_int4_native, "int4native"),
+    "int4_native_partial": (v_int4_native_partial, "int4native"),
+    "w8a8_mxu": (v_w8a8_mxu, "int8"),
+    "w8a8_flat": (v_w8a8_flat, "int8"),
+    "w4a8_flat": (v_w4a8_flat, "int4packed"),
+    "w4a8_flat_i8shift": (v_w4a8_flat_i8shift, "int4packed"),
+    "w4a8_group": (v_w4a8_group, "int4packed"),
+    "w4a8_groupmult": (v_w4a8_groupmult, "int4packed"),
+    "fp8": (v_fp8, "fp8"),
+    "readonly_int8": (v_readonly_int8, "int8"),
+}
+
+
+def measure(name, step, kind):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, K), jnp.bfloat16)
+    fn = scan_matvec(step)
+    times = {}
+    bytes_per_layer = 0
+    for L in (L_LO, L_HI):
+        w, nbytes = make_weights(kind, L, key)
+        bytes_per_layer = nbytes // L
+        try:
+            np.asarray(fn(x, w))  # compile + warm
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
+            return
+        t = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(x, w))
+            t.append(time.perf_counter() - t0)
+        times[L] = min(t)
+        del w  # free HBM before allocating the next stack
+    marginal = (times[L_HI] - times[L_LO]) / ((L_HI - L_LO) * M_REPEATS)
+    gbps = bytes_per_layer / marginal / 1e9
+    print(f"{name:24s} {marginal*1e6:9.1f} us/layer   {gbps:7.1f} GB/s effective",
+          flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default=",".join(VARIANTS))
+    args = p.parse_args()
+    print(f"device: {jax.devices()[0].platform}, shapes K={K} N={N} G={G}")
+    for name in args.variants.split(","):
+        step, kind = VARIANTS[name]
+        measure(name, step, kind)
+
+
+if __name__ == "__main__":
+    main()

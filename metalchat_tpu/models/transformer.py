@@ -223,12 +223,17 @@ def forward(
     tokens: jax.Array,
     start_pos: jax.Array,
     config: ModelConfig,
+    *,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Cache]:
     """One model step (prefill when S>1, decode when S==1).
 
     tokens: int32 [B, S]; start_pos: scalar int32 — the write offset into the
     cache (all rows share it; the batching engine uses per-row offsets via its
     paged path). Returns (float32 logits [B, S, V], updated cache).
+
+    remat=True checkpoints each layer of the scan (recompute activations in
+    the backward pass — the standard memory/FLOPs trade for training).
     """
     b, s = tokens.shape
     start_pos = jnp.asarray(start_pos, jnp.int32)
@@ -277,6 +282,8 @@ def forward(
         )
         return new_carry, new_slices
 
+    if remat:
+        scan_fn = jax.checkpoint(scan_fn)
     x, new_leaves = jax.lax.scan(scan_fn, x, (params["layers"], cache_leaves, is_global))
 
     if config.norm_type == "layernorm":
