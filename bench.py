@@ -37,6 +37,18 @@ def build(config_name: str):
         params = init_random_quantized_params(cfg, bits=4, group_size=32,
                                               max_seq_len=1024)
         quantized_kv = True
+    elif config_name == "8b-w4a8":
+        # Per-channel int4 + dynamic int8 activations: the s8×s8 MXU path
+        # (fastest wall-clock formulation measured on v5e).
+        cfg = LlamaConfig.llama31_8b(max_seq_len=1024)
+        params = init_random_quantized_params(cfg, bits=4, group_size=None,
+                                              act_bits=8, max_seq_len=1024)
+        quantized_kv = True
+    elif config_name == "8b-w8a8":
+        cfg = LlamaConfig.llama31_8b(max_seq_len=1024)
+        params = init_random_quantized_params(cfg, bits=8, group_size=None,
+                                              act_bits=8, max_seq_len=1024)
+        quantized_kv = True
     elif config_name == "1b-int8":
         cfg = LlamaConfig.llama32_1b(max_seq_len=1024)
         params = init_random_quantized_params(cfg, bits=8, group_size=32,

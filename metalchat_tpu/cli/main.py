@@ -11,8 +11,9 @@ UX parity with the reference binary (program/program.cc:20-216):
   metalchat-tpu options get/set/unset/list
   metalchat-tpu credential add/list/remove
 
-plus TPU-era extensions: `--quantize {int8,int4}` on-the-fly weight
-quantization and `--quantized-kv`.
+plus TPU-era extensions: `--quantize {int8,int4,w8a8,w4a8}` on-the-fly
+weight quantization (w8a8/w4a8 = per-channel weights + dynamic int8
+activations on the MXU — the fast decode scheme) and `--quantized-kv`.
 """
 
 from __future__ import annotations
@@ -82,8 +83,12 @@ def _load_session(ref: str, args) -> "object":
     doc = repo.retrieve_weights()
     params = load_params(doc, config, dtype=dtype)
     if args.quantize:
-        bits = {"int8": 8, "int4": 4}[args.quantize]
-        params = quantize_params(params, bits=bits, group_size=32)
+        bits = {"int8": 8, "int4": 4, "w8a8": 8, "w4a8": 4}[args.quantize]
+        if args.quantize.startswith("w"):
+            params = quantize_params(params, bits=bits, group_size=None,
+                                     act_bits=8)
+        else:
+            params = quantize_params(params, bits=bits, group_size=32)
 
     tokenizer = repo.retrieve_tokenizer()
     sampling = manifest.inference.get("sampling", {})
@@ -285,7 +290,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--system", default=None)
         p.add_argument("--max-tokens", type=int, default=512)
         p.add_argument("--max-seq-len", type=int, default=None)
-        p.add_argument("--quantize", choices=["int8", "int4"], default=None)
+        p.add_argument("--quantize", choices=["int8", "int4", "w8a8", "w4a8"], default=None)
 
     prompt = sub.add_parser("prompt", help="one-shot completion")
     add_infer_args(prompt)

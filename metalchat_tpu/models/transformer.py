@@ -217,6 +217,60 @@ def _layer_step(
     return x, new_slices
 
 
+def run_layers(
+    x: jax.Array,
+    layers: Params,                      # stacked leaves [L_local, ...]
+    cache_leaves: Tuple[jax.Array, ...],
+    is_global: jax.Array,                # [L_local]
+    *,
+    config: ModelConfig,
+    rope: Dict[str, jax.Array],
+    positions: jax.Array,
+    offsets: jax.Array,
+    start_pos: jax.Array,
+    quantized_cache: bool,
+    page_table: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Scan `_layer_step` over a stack of layers (the shared layer loop of
+    `forward` and the pipeline-parallel stage executor)."""
+
+    def scan_fn(carry, xs):
+        layer, slices, layer_global = xs
+        return _layer_step(
+            carry, layer, slices, layer_global,
+            config=config, rope=rope, positions=positions, offsets=offsets,
+            start_pos=start_pos, quantized_cache=quantized_cache,
+            page_table=page_table,
+        )
+
+    if remat:
+        scan_fn = jax.checkpoint(scan_fn)
+    return jax.lax.scan(scan_fn, x, (layers, cache_leaves, is_global))
+
+
+def embed_tokens(params: Params, tokens: jax.Array, positions: jax.Array,
+                 config: ModelConfig) -> jax.Array:
+    """Token embedding (+ scale / learned positions) → activations."""
+    x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
+    if config.embedding_scale is not None:
+        x = x * jnp.asarray(config.embedding_scale, x.dtype)
+    if config.position_embedding == "learned":
+        x = x + params["pos_emb"][positions].astype(x.dtype)
+    return x
+
+
+def final_logits(params: Params, x: jax.Array, config: ModelConfig) -> jax.Array:
+    """Final norm + lm head → f32 logits."""
+    if config.norm_type == "layernorm":
+        x = ops.layer_norm(x, params["final_norm"], params["final_norm_b"],
+                           eps=config.rms_norm_eps)
+    else:
+        x = ops.rms_norm(x, params["final_norm"], eps=config.rms_norm_eps,
+                         offset=config.norm_weight_offset)
+    return linear(x, params["lm_head"]).astype(jnp.float32)
+
+
 def forward(
     params: Params,
     cache: Cache,
@@ -243,11 +297,7 @@ def forward(
     positions = offsets[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 
     # Activation dtype follows the (always-dense) final norm weight.
-    x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
-    if config.embedding_scale is not None:
-        x = x * jnp.asarray(config.embedding_scale, x.dtype)
-    if config.position_embedding == "learned":
-        x = x + params["pos_emb"][positions].astype(x.dtype)
+    x = embed_tokens(params, tokens, positions, config)
 
     is_global = jnp.asarray(
         [config.layer_is_global(i) for i in range(config.num_layers)]
@@ -265,34 +315,14 @@ def forward(
         else:
             cache_leaves = (cache.k, cache.v)
 
-    def scan_fn(carry, xs):
-        layer, slices, layer_global = xs
-        new_carry, new_slices = _layer_step(
-            carry,
-            layer,
-            slices,
-            layer_global,
-            config=config,
-            rope=params["rope"],
-            positions=positions,
-            offsets=offsets,
-            start_pos=start_pos,
-            quantized_cache=quantized,
-            page_table=page_table,
-        )
-        return new_carry, new_slices
+    x, new_leaves = run_layers(
+        x, params["layers"], cache_leaves, is_global,
+        config=config, rope=params["rope"], positions=positions,
+        offsets=offsets, start_pos=start_pos, quantized_cache=quantized,
+        page_table=page_table, remat=remat,
+    )
 
-    if remat:
-        scan_fn = jax.checkpoint(scan_fn)
-    x, new_leaves = jax.lax.scan(scan_fn, x, (params["layers"], cache_leaves, is_global))
-
-    if config.norm_type == "layernorm":
-        x = ops.layer_norm(x, params["final_norm"], params["final_norm_b"],
-                           eps=config.rms_norm_eps)
-    else:
-        x = ops.rms_norm(x, params["final_norm"], eps=config.rms_norm_eps,
-                         offset=config.norm_weight_offset)
-    logits = linear(x, params["lm_head"]).astype(jnp.float32)
+    logits = final_logits(params, x, config)
 
     if paged:
         new_cache: Cache = PagedKVCache(*new_leaves, page_table=cache.page_table,

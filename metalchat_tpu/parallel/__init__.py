@@ -13,3 +13,9 @@ from metalchat_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     shard_cache,
 )
+from metalchat_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_forward,
+    make_pp_mesh,
+    shard_cache_pp,
+    shard_params_pp,
+)

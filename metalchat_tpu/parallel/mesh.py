@@ -115,9 +115,28 @@ def _prune_to(tree: Dict[str, Any], reference: Dict[str, Any]) -> Dict[str, Any]
 
 
 def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
-    """Place a parameter tree onto the mesh with TP shardings."""
+    """Place a parameter tree onto the mesh with TP shardings.
+
+    QuantizedTensor leaves inherit the dense leaf's spec (q and group scales
+    shard the same named axis); LoRA adaptors are replicated — rank is tiny
+    and replication keeps the adaptor matmuls collective-free."""
+    from metalchat_tpu.quant.quantize import LoraLinear
+
     shardings = _prune_to(param_shardings(config, mesh), params)
-    return jax.device_put(params, shardings)
+    replicated = NamedSharding(mesh, P())
+
+    def expand(spec, leaf):
+        if isinstance(leaf, LoraLinear):
+            return LoraLinear(base=expand(spec, leaf.base), a=replicated,
+                              b=replicated, scale=leaf.scale)
+        return spec
+
+    def walk(spec, ref):
+        if isinstance(ref, dict):
+            return {k: walk(spec[k], v) for k, v in ref.items()}
+        return expand(spec, ref)
+
+    return jax.device_put(params, walk(shardings, params))
 
 
 def shard_cache(cache, mesh: Mesh):

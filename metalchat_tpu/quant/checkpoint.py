@@ -66,11 +66,14 @@ def export_quantized(params: Params, config: ModelConfig) -> tuple[Dict[str, np.
             tensors[prefix + ".lora_b"] = sel(leaf.b)
             meta.setdefault("lora_scale", str(leaf.scale))
         elif isinstance(leaf, QuantizedTensor):
+            pc = leaf.group_size == leaf.in_features
             leaf = with_orientation(leaf, False)  # canonical on-disk layout
             tensors[prefix + ".qweight"] = sel(leaf.q)
             tensors[prefix + ".scales"] = sel(leaf.scales)
             meta.setdefault("bits", str(leaf.bits))
-            meta.setdefault("group_size", str(leaf.group_size))
+            meta.setdefault("group_size", "channel" if pc else str(leaf.group_size))
+            if leaf.act_bits:
+                meta.setdefault("act_bits", str(leaf.act_bits))
         else:
             tensors[prefix + ".weight"] = np.ascontiguousarray(sel(leaf).T)
 
@@ -107,9 +110,16 @@ def load_quantized(
 ) -> Params:
     """Load a native-format quantized checkpoint back into a param tree."""
     bits = int(doc.metadata.get("bits", 8))
-    group = int(doc.metadata.get("group_size", 32))
+    act_bits_meta = doc.metadata.get("act_bits")
+    act_bits = int(act_bits_meta) if act_bits_meta else None
     lora_scale = float(doc.metadata.get("lora_scale", 2.0))
     L = config.num_layers
+
+    def derive_group(q, scales):
+        # Canonical on-disk orientation: q [in(/2), out], scales [in/g, out];
+        # group size follows from the shapes (handles per-channel "channel").
+        in_features = q.shape[-2] * (2 if bits == 4 else 1)
+        return in_features // scales.shape[-2]
 
     def leaf(prefix: str, stack: bool):
         def get(suffix, transform=lambda a: a):
@@ -122,8 +132,10 @@ def load_quantized(
 
         probe = (f"model.layers.0.{prefix}" if stack else prefix)
         if probe + ".qweight" in doc:
-            qt = auto_orient(QuantizedTensor(q=get(".qweight"), scales=get(".scales"),
-                                             bits=bits, group_size=group))
+            q, scales = get(".qweight"), get(".scales")
+            qt = auto_orient(QuantizedTensor(
+                q=q, scales=scales, bits=bits,
+                group_size=derive_group(q, scales), act_bits=act_bits))
             if probe + ".lora_a" in doc:
                 return LoraLinear(base=qt, a=get(".lora_a"), b=get(".lora_b"),
                                   scale=lora_scale)
@@ -152,11 +164,11 @@ def load_quantized(
         layers["k_norm"] = norm("self_attn.k_norm.weight", True)
 
     if "model.embed_tokens.qweight" in doc:
-        embed: Any = QuantizedTensor(
-            q=jnp.asarray(doc["model.embed_tokens.qweight"]),
-            scales=jnp.asarray(doc["model.embed_tokens.scales"]),
-            bits=bits, group_size=group,
-        )
+        eq = jnp.asarray(doc["model.embed_tokens.qweight"])
+        es = jnp.asarray(doc["model.embed_tokens.scales"])
+        # Row-quantized table: groups run along H (axis -1 of each row).
+        eg = eq.shape[-1] * (2 if bits == 4 else 1) // es.shape[-1]
+        embed: Any = QuantizedTensor(q=eq, scales=es, bits=bits, group_size=eg)
     else:
         embed = jnp.asarray(np.asarray(doc["model.embed_tokens.weight"])).astype(dtype)
 

@@ -37,7 +37,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "scales"],
-    meta_fields=["bits", "group_size", "transposed"],
+    meta_fields=["bits", "group_size", "transposed", "act_bits"],
 )
 @dataclass
 class QuantizedTensor:
@@ -52,6 +52,14 @@ class QuantizedTensor:
     lower to VPU multiply-reduce with materialized broadcasts on TPU in the
     natural orientation; storing them transposed keeps the dequant fused
     (profiled on v5e: the 8B decode's dominant cost).
+
+    ``act_bits=8`` selects the W8A8/W4A8 execution scheme: activations are
+    quantized per token (dynamic symmetric int8) and the contraction runs
+    natively on the MXU as s8×s8→s32 with a single post-scale — measured at
+    the HBM read ceiling on v5e (~780 GB/s int8 / fastest-overall wall-clock
+    for packed int4), vs ~345 GB/s for the fused-dequant bf16 dot. Exact
+    post-scaling requires per-output-channel weight scales, i.e.
+    ``group_size == in_features`` (n_groups == 1).
     """
 
     q: jax.Array
@@ -59,6 +67,7 @@ class QuantizedTensor:
     bits: int = 8
     group_size: int = 32
     transposed: bool = False
+    act_bits: Optional[int] = None
 
     @property
     def in_features(self) -> int:
@@ -111,19 +120,32 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
 def quantize(
     w: jax.Array | np.ndarray,
     bits: int = 8,
-    group_size: int = 32,
+    group_size: Optional[int] = 32,
     scales_dtype=jnp.float32,
     transposed: bool = False,
+    act_bits: Optional[int] = None,
 ) -> QuantizedTensor:
     """Symmetric groupwise quantization of an [in, out] weight (groups along
-    in-features; `transposed` selects the storage orientation)."""
+    in-features; `transposed` selects the storage orientation).
+
+    group_size=None → per-output-channel scales (one group spanning all of
+    in-features) — required for the `act_bits=8` MXU execution scheme."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if act_bits not in (None, 8):
+        raise ValueError(f"act_bits must be None or 8, got {act_bits}")
     w = np.asarray(w, np.float32)
     in_features, out_features = w.shape[-2:]
+    if group_size is None:
+        group_size = in_features
+    if act_bits is not None and group_size != in_features:
+        raise ValueError(
+            "act_bits=8 needs per-channel scales (group_size=None): the MXU "
+            "s8 contraction admits only a post-scale constant along in-features"
+        )
     if in_features % group_size:
         raise ValueError(f"in_features={in_features} not divisible by group={group_size}")
-    if bits == 4 and (in_features // 2) % group_size:
+    if bits == 4 and group_size != in_features and (in_features // 2) % group_size:
         raise ValueError(
             f"int4 needs in_features/2 divisible by group={group_size} "
             f"(half-split packing must not straddle groups), got {in_features}"
@@ -147,6 +169,7 @@ def quantize(
         bits=bits,
         group_size=group_size,
         transposed=transposed,
+        act_bits=act_bits,
     )
 
 
@@ -157,6 +180,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
         qt = QuantizedTensor(
             q=jnp.swapaxes(qt.q, -1, -2), scales=jnp.swapaxes(qt.scales, -1, -2),
             bits=qt.bits, group_size=qt.group_size, transposed=False,
+            act_bits=qt.act_bits,
         )
     q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
     shape = q.shape
@@ -173,6 +197,7 @@ def with_orientation(qt: QuantizedTensor, transposed: bool) -> QuantizedTensor:
         q=jnp.swapaxes(qt.q, -1, -2),
         scales=jnp.swapaxes(qt.scales, -1, -2),
         bits=qt.bits, group_size=qt.group_size, transposed=transposed,
+        act_bits=qt.act_bits,
     )
 
 
@@ -180,6 +205,67 @@ def auto_orient(qt: QuantizedTensor) -> QuantizedTensor:
     """Pick the storage orientation by shape: wide-output weights (out > in)
     are stored transposed (see QuantizedTensor docstring for why)."""
     return with_orientation(qt, qt.out_features > qt.in_features)
+
+
+def _act_quantize(x: jax.Array):
+    """Per-token dynamic symmetric int8: x ≈ xq * sx, sx [..., 1] f32."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _matmul_a8(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
+    """W8A8 / W4A8: s8×s8→s32 on the MXU + one post-scale (sx ⊗ s_col).
+
+    Measured on v5e at the HBM read ceiling (~780 GB/s int8; packed int4 is
+    the fastest wall-clock of all formulations — benchmarks/quant_microbench):
+    the dequant multiply/convert that bounds the bf16 paths on the VPU is
+    gone entirely. Exact for per-channel scales; activation quantization is
+    the (measurable, small) numeric trade — see tests/test_quant_w8a8.py.
+    """
+    dtype = x.dtype
+    xq, sx = _act_quantize(x)
+    contract_dim = 1 if qt.transposed else 0
+    s_col = (qt.scales.reshape(qt.out_features)
+             .astype(jnp.float32))
+    dims = lambda d: (((xq.ndim - 1,), (d,)), ((), ()))  # noqa: E731
+    if qt.bits == 8:
+        acc = jax.lax.dot_general(xq, qt.q, dims(contract_dim),
+                                  preferred_element_type=jnp.int32)
+    else:
+        # Half-split packed int4 → int8 nibbles via i32 (int8 shifts lower
+        # poorly on TPU), two flat s8 dots over the halves.
+        half = qt.in_features // 2
+        p32 = qt.q.astype(jnp.int32)
+        lo = (jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8).astype(jnp.int8)
+        hi = jnp.right_shift(p32, 4).astype(jnp.int8)
+        acc = (
+            jax.lax.dot_general(xq[..., :half], lo, dims(contract_dim),
+                                preferred_element_type=jnp.int32)
+            + jax.lax.dot_general(xq[..., half:], hi, dims(contract_dim),
+                                  preferred_element_type=jnp.int32)
+        )
+    out = acc.astype(jnp.float32) * sx * s_col
+    return out.astype(dtype)
+
+
+def requantize_per_channel(
+    qt: QuantizedTensor,
+    bits: int = 8,
+    scales_dtype=jnp.float32,
+    act_bits: Optional[int] = 8,
+) -> QuantizedTensor:
+    """Re-quantize a groupwise tensor to per-channel scales (the layout the
+    MXU `act_bits=8` scheme needs).
+
+    Dequantizes the group-exact values and re-rounds onto the per-channel
+    grid: for bits=8 the 8-bit grid absorbs group-scale variation almost
+    losslessly; bits=4 halves the bytes again but per-channel int4 loses
+    accuracy vs group-32 (use 8 unless HBM-capacity-bound)."""
+    w = dequantize(qt, jnp.float32)
+    return quantize(w, bits=bits, group_size=None, scales_dtype=scales_dtype,
+                    transposed=qt.transposed, act_bits=act_bits)
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
@@ -193,6 +279,8 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     shifts + two half-width matmuls with no interleave.
     """
     dtype = x.dtype
+    if qt.act_bits == 8 and qt.group_size == qt.in_features and qt.q.ndim == 2:
+        return _matmul_a8(x, qt)
     scales = qt.scales.astype(dtype)
     g = qt.group_size
     if qt.transposed:
@@ -214,11 +302,15 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     # 285 vs 219 GB/s effective at 8B FFN shapes).
     packed = qt.q
     half, out_features = packed.shape[-2:]
-    half_groups = half // g
     p32 = packed.astype(jnp.int32)
     lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
     hi = jnp.right_shift(p32, 4)
-    s_lo, s_hi = scales[:half_groups], scales[half_groups:]
+    if g >= qt.in_features:  # per-channel: the single group spans both halves
+        half_groups, g = 1, half
+        s_lo = s_hi = scales
+    else:
+        half_groups = half // g
+        s_lo, s_hi = scales[:half_groups], scales[half_groups:]
     w_lo = (lo.astype(dtype).reshape(half_groups, g, out_features)
             * s_lo[..., :, None, :]).reshape(half, out_features)
     w_hi = (hi.astype(dtype).reshape(half_groups, g, out_features)
@@ -247,11 +339,15 @@ def _quant_matmul_transposed(x: jax.Array, qt: QuantizedTensor, scales) -> jax.A
         return out.astype(dtype)
     packed = qt.q  # [out, in/2], half-split along in
     out_features, half = packed.shape[-2:]
-    half_groups = half // g
     p32 = packed.astype(jnp.int32)
     lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
     hi = jnp.right_shift(p32, 4)
-    s_lo, s_hi = scales[..., :half_groups], scales[..., half_groups:]
+    if g >= qt.in_features:  # per-channel: the single group spans both halves
+        half_groups, g = 1, half
+        s_lo = s_hi = scales
+    else:
+        half_groups = half // g
+        s_lo, s_hi = scales[..., :half_groups], scales[..., half_groups:]
     w_lo = (lo.astype(dtype).reshape(out_features, half_groups, g)
             * s_lo[..., :, :, None]).reshape(out_features, half)
     w_hi = (hi.astype(dtype).reshape(out_features, half_groups, g)
@@ -298,7 +394,7 @@ def _maybe_pallas(x: jax.Array, qt: QuantizedTensor):
 
     if not os.environ.get("METALCHAT_TPU_QUANT_KERNEL"):
         return None
-    if not use_pallas() or qt.q.ndim != 2 or qt.transposed:
+    if not use_pallas() or qt.q.ndim != 2 or qt.transposed or qt.act_bits:
         return None
     lead = int(np.prod(x.shape[:-1]))
     if lead > 32:  # prefill: MXU-bound, the einsum path is fine
@@ -341,10 +437,11 @@ def init_random_quantized_params(
     config,
     *,
     bits: int = 4,
-    group_size: int = 32,
+    group_size: Optional[int] = 32,
     seed: int = 0,
     scales_dtype=jnp.bfloat16,
     max_seq_len: Optional[int] = None,
+    act_bits: Optional[int] = None,
 ):
     """Directly initialize a random *quantized* parameter tree on device.
 
@@ -363,15 +460,17 @@ def init_random_quantized_params(
     def qlin(k, in_f, out_f, stack=True):
         k1, k2 = jax.random.split(k)
         lead = (L,) if stack else ()
+        g = in_f if group_size is None else group_size
         transposed = out_f > in_f
         if transposed:
             q = jax.random.randint(k1, lead + (out_f, in_f // pack), -127, 128, jnp.int8)
-            s = (jax.random.uniform(k2, lead + (out_f, in_f // group_size)) * 0.01 + 0.001)
+            s = (jax.random.uniform(k2, lead + (out_f, in_f // g)) * 0.01 + 0.001)
         else:
             q = jax.random.randint(k1, lead + (in_f // pack, out_f), -127, 128, jnp.int8)
-            s = (jax.random.uniform(k2, lead + (in_f // group_size, out_f)) * 0.01 + 0.001)
+            s = (jax.random.uniform(k2, lead + (in_f // g, out_f)) * 0.01 + 0.001)
         return QuantizedTensor(q=q, scales=s.astype(scales_dtype), bits=bits,
-                               group_size=group_size, transposed=transposed)
+                               group_size=g, transposed=transposed,
+                               act_bits=act_bits)
 
     keys = iter(jax.random.split(key, 12))
     layers = {
@@ -406,11 +505,12 @@ def quantize_params(
     params: Dict[str, Any],
     *,
     bits: int = 8,
-    group_size: int = 32,
+    group_size: Optional[int] = 32,
     targets=_DEFAULT_TARGETS,
     quantize_lm_head: bool = False,
     quantize_embed: bool = False,
     scales_dtype=jnp.float32,
+    act_bits: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Quantize selected leaves of a parameter tree.
 
@@ -425,12 +525,12 @@ def quantize_params(
         if name in out["layers"]:
             out["layers"][name] = auto_orient(quantize(
                 out["layers"][name], bits=bits, group_size=group_size,
-                scales_dtype=scales_dtype,
+                scales_dtype=scales_dtype, act_bits=act_bits,
             ))
     if quantize_lm_head:
         out["lm_head"] = auto_orient(quantize(
             params["lm_head"], bits=bits, group_size=group_size,
-            scales_dtype=scales_dtype))
+            scales_dtype=scales_dtype, act_bits=act_bits))
     if quantize_embed:
         # Row-quantized: treat [V, H] as out-major by quantizing its transpose
         # groupwise along H, then storing row-major again.
