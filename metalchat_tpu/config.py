@@ -68,6 +68,11 @@ class ModelConfig:
     position_embedding: str = "rope"  # "rope" | "learned"
     ffn_type: str = "swiglu"          # "swiglu" | "mlp"
     use_bias: bool = False            # biases on attention/FFN projections
+    # Mixture-of-experts (None → dense FFN). Experts replace the FFN; the
+    # expert axis is shardable over an "ep" mesh axis (parallel/mesh.py).
+    num_experts: Optional[int] = None
+    num_experts_per_tok: int = 2
+    expert_capacity_factor: float = 2.0  # prefill dispatch capacity headroom
     # Sampling-time default begin/end ids (overridable by tokenizer):
     bos_token_id: int = 128000
     eos_token_ids: Tuple[int, ...] = (128001, 128009)
@@ -224,6 +229,46 @@ class Gemma3Config(ModelConfig):
 
 
 @dataclass(frozen=True)
+class MixtralConfig(ModelConfig):
+    """Mixtral sparse-MoE family (Llama-style attention + top-k expert FFN)."""
+
+    model_type: str = "mixtral"
+
+    @staticmethod
+    def mixtral_8x7b(**kw: Any) -> "MixtralConfig":
+        return MixtralConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=1_000_000.0, rms_norm_eps=1e-5, max_seq_len=32768,
+            tie_word_embeddings=False, num_experts=8, num_experts_per_tok=2,
+            bos_token_id=1, eos_token_ids=(2,), **kw,
+        )
+
+    @staticmethod
+    def from_hf_config(cfg: Mapping[str, Any]) -> "MixtralConfig":
+        heads = int(cfg.get("num_attention_heads", 32))
+        hidden = int(cfg.get("hidden_size", 4096))
+        return MixtralConfig(
+            vocab_size=int(cfg.get("vocab_size", 32000)),
+            hidden_size=hidden,
+            intermediate_size=int(cfg.get("intermediate_size", 14336)),
+            num_layers=int(cfg.get("num_hidden_layers", 32)),
+            num_heads=heads,
+            num_kv_heads=int(cfg.get("num_key_value_heads", heads)),
+            head_dim=int(cfg.get("head_dim", hidden // heads)),
+            rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-5)),
+            rope_theta=float(cfg.get("rope_theta", 1_000_000.0)),
+            max_seq_len=int(cfg.get("max_position_embeddings", 32768)),
+            tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+            num_experts=int(cfg.get("num_local_experts", 8)),
+            num_experts_per_tok=int(cfg.get("num_experts_per_tok", 2)),
+            sliding_window=cfg.get("sliding_window"),
+            bos_token_id=int(cfg.get("bos_token_id", 1)),
+            eos_token_ids=_as_tuple(cfg.get("eos_token_id", 2)),
+        )
+
+
+@dataclass(frozen=True)
 class GPT2Config(ModelConfig):
     """GPT-2 family: LayerNorm, learned positions, biased GELU MLP, MHA."""
 
@@ -272,6 +317,8 @@ def config_from_dict(cfg: Mapping[str, Any]) -> ModelConfig:
     archs = " ".join(cfg.get("architectures", []))
     if mt.startswith("gemma") or "Gemma" in archs:
         return Gemma3Config.from_hf_config(cfg)
+    if mt == "mixtral" or "Mixtral" in archs:
+        return MixtralConfig.from_hf_config(cfg)
     if mt == "llama" or "Llama" in archs:
         return LlamaConfig.from_hf_config(cfg)
     if mt == "gpt2" or "GPT2" in archs:

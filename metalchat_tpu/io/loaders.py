@@ -115,10 +115,32 @@ def load_params(
                      lambda a: qk_permuted(a, config.num_kv_heads)),
         "wv": _stack(doc, pre + "self_attn.v_proj.weight", L, linear),
         "wo": _stack(doc, pre + "self_attn.o_proj.weight", L, linear),
-        "w1": _stack(doc, pre + "mlp.gate_proj.weight", L, linear),
-        "w3": _stack(doc, pre + "mlp.up_proj.weight", L, linear),
-        "w2": _stack(doc, pre + "mlp.down_proj.weight", L, linear),
     }
+    if config.num_experts:
+        # Mixtral sparse-MoE names: block_sparse_moe.gate + experts.N.w{1,2,3}
+        # (w1=gate, w3=up, w2=down in Mixtral's own convention). Stacked to
+        # router [L, H, E] and expert weights [L, E, in, out].
+        e = config.num_experts
+
+        def experts(which: str) -> np.ndarray:
+            return np.stack([
+                np.stack([
+                    linear(np.asarray(
+                        doc[f"model.layers.{i}.block_sparse_moe.experts.{j}.{which}.weight"]))
+                    for j in range(e)
+                ])
+                for i in range(L)
+            ])
+
+        layers["router"] = _stack(
+            doc, pre + "block_sparse_moe.gate.weight", L, linear)
+        layers["w1"] = experts("w1")
+        layers["w3"] = experts("w3")
+        layers["w2"] = experts("w2")
+    else:
+        layers["w1"] = _stack(doc, pre + "mlp.gate_proj.weight", L, linear)
+        layers["w3"] = _stack(doc, pre + "mlp.up_proj.weight", L, linear)
+        layers["w2"] = _stack(doc, pre + "mlp.down_proj.weight", L, linear)
     if is_gemma:
         layers["ffn_norm"] = _stack(doc, pre + "pre_feedforward_layernorm.weight", L, np.asarray)
         layers["post_attn_norm"] = _stack(doc, pre + "post_attention_layernorm.weight", L, np.asarray)
@@ -222,11 +244,22 @@ def save_params(params: Params, config: ModelConfig) -> Dict[str, np.ndarray]:
     name_map["ffn_norm"] = (
         "pre_feedforward_layernorm.weight" if is_gemma else "post_attention_layernorm.weight"
     )
+    moe = bool(config.num_experts)
     for key, stacked in params["layers"].items():
         arr = np.asarray(stacked)
         for i in range(config.num_layers):
             w = arr[i]
-            if key in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+            if moe and key == "router":
+                out[f"model.layers.{i}.block_sparse_moe.gate.weight"] = (
+                    np.ascontiguousarray(w.T))
+            elif moe and key in ("w1", "w2", "w3"):
+                for j in range(config.num_experts):
+                    out[
+                        f"model.layers.{i}.block_sparse_moe.experts.{j}.{key}.weight"
+                    ] = np.ascontiguousarray(w[j].T)
+            elif key in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
                 w = np.ascontiguousarray(w.T)
-            out[f"model.layers.{i}.{name_map[key]}"] = w
+                out[f"model.layers.{i}.{name_map[key]}"] = w
+            else:
+                out[f"model.layers.{i}.{name_map[key]}"] = w
     return out

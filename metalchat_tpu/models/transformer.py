@@ -205,7 +205,11 @@ def _layer_step(
     x = x + attn
 
     h = _norm(x, layer, "ffn_norm", config)
-    if config.ffn_type == "mlp":
+    if config.num_experts:
+        from metalchat_tpu.models.moe import moe_ffn
+
+        ffn = moe_ffn(h, layer, config)
+    elif config.ffn_type == "mlp":
         gate = _biased(linear(h, layer["w1"]), layer, "w1_b", config)
         gate = jax.nn.gelu(gate, approximate=True) if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate)
         ffn = _biased(linear(gate, layer["w2"]), layer, "w2_b", config)
@@ -362,6 +366,12 @@ def init_random_params(
     }
     if config.ffn_type == "mlp":
         del layers["w3"]
+    if config.num_experts:
+        e = config.num_experts
+        layers["router"] = dense(next(keys), L, h, e)
+        layers["w1"] = dense(next(keys), L, e, h, f)
+        layers["w3"] = dense(next(keys), L, e, h, f)
+        layers["w2"] = dense(next(keys), L, e, f, h)
     if config.use_qk_norm:
         layers["q_norm"] = jnp.ones((L, hd), dtype)
         layers["k_norm"] = jnp.ones((L, hd), dtype)

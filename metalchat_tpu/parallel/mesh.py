@@ -29,16 +29,23 @@ from metalchat_tpu.config import ModelConfig
 def make_mesh(
     tp: Optional[int] = None,
     dp: int = 1,
+    ep: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ("dp", "tp") mesh. Defaults: tp = all devices / dp."""
+    """Build a ("dp", "ep", "tp") mesh (ep omitted when 1).
+
+    Defaults: tp = all devices / (dp·ep). The expert axis shards MoE expert
+    weights; dense weights treat ep like extra dp (replicated)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if tp is None:
-        tp = n // dp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
+        tp = n // (dp * ep)
+    if dp * ep * tp != n:
+        raise ValueError(f"dp*ep*tp = {dp}*{ep}*{tp} != {n} devices")
+    if ep > 1:
+        return Mesh(np.asarray(devices).reshape(dp, ep, tp),
+                    axis_names=("dp", "ep", "tp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
@@ -52,6 +59,14 @@ def _check_divisibility(config: ModelConfig, tp: int) -> None:
             raise ValueError(f"{name}={value} not divisible by tp={tp}")
 
 
+def _check_ep(config: ModelConfig, ep: int) -> None:
+    if not config.num_experts:
+        raise ValueError("mesh has an ep axis but the model has no experts")
+    if config.num_experts % ep:
+        raise ValueError(
+            f"num_experts={config.num_experts} not divisible by ep={ep}")
+
+
 def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
     """PartitionSpec tree matching models.transformer param layout.
 
@@ -60,8 +75,11 @@ def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
     Embedding/lm_head sharded on the vocab axis; norms replicated.
     """
     tp = mesh.shape["tp"]
+    ep_axis = "ep" if "ep" in mesh.shape and mesh.shape["ep"] > 1 else None
     if tp > 1:
         _check_divisibility(config, tp)
+    if ep_axis:
+        _check_ep(config, mesh.shape["ep"])
     # GQA co-location: shard KV projections/cache over kv-heads when they
     # divide tp; otherwise replicate KV and shard only Q heads (the standard
     # trade when kv_heads < chips — attention stays communication-free).
@@ -83,6 +101,13 @@ def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
         },
         "rope": {"cos": P(None, None), "sin": P(None, None)},
     }
+    if config.num_experts:
+        # Expert FFN [L, E, H, F]/[L, E, F, H]: experts over ep, FFN width
+        # over tp (composable); router replicated.
+        specs["layers"]["router"] = P(None, None, None)
+        specs["layers"]["w1"] = P(None, ep_axis, None, "tp")
+        specs["layers"]["w3"] = P(None, ep_axis, None, "tp")
+        specs["layers"]["w2"] = P(None, ep_axis, "tp", None)
     # Optional per-config leaves (Gemma).
     for extra in ("q_norm", "k_norm", "post_attn_norm", "post_ffn_norm"):
         specs["layers"][extra] = P(None, None)
