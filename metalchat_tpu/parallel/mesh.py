@@ -92,6 +92,8 @@ def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
             "attn_norm": P(None, None),
             "ffn_norm": P(None, None),
             "wq": P(None, None, "tp"),
+            "wqkv": P(None, None, "tp"),
+            "w13": P(None, None, "tp"),
             "wk": kv_spec,
             "wv": kv_spec,
             "wo": P(None, "tp", None),
@@ -131,11 +133,16 @@ def cache_shardings(mesh: Mesh, quantized: bool = False, num_kv_heads: Optional[
     return KVCache(k=kv, v=kv)
 
 
-def _prune_to(tree: Dict[str, Any], reference: Dict[str, Any]) -> Dict[str, Any]:
+def _prune_to(tree: Dict[str, Any], reference: Dict[str, Any], default=None) -> Dict[str, Any]:
+    """Prune the spec tree to the params structure; unknown keys (biases,
+    model-specific extras) fall back to `default` (replicated)."""
     out = {}
     for key, value in reference.items():
-        spec = tree[key]
-        out[key] = _prune_to(spec, value) if isinstance(value, dict) else spec
+        spec = tree.get(key, default)
+        if isinstance(value, dict):
+            out[key] = _prune_to(spec if isinstance(spec, dict) else {}, value, default)
+        else:
+            out[key] = spec
     return out
 
 
@@ -147,8 +154,8 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
     and replication keeps the adaptor matmuls collective-free."""
     from metalchat_tpu.quant.quantize import LoraLinear
 
-    shardings = _prune_to(param_shardings(config, mesh), params)
     replicated = NamedSharding(mesh, P())
+    shardings = _prune_to(param_shardings(config, mesh), params, default=replicated)
 
     def expand(spec, leaf):
         if isinstance(leaf, LoraLinear):
