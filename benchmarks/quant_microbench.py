@@ -307,6 +307,24 @@ def v_w4a8_groupmult(x, w):
     return acc.astype(jnp.float32) * (sx * 0.01)
 
 
+def v_w4a8_wrap(x, w):
+    """W4A8 with the int8 wrap-trick: NO widen/narrow relayouts.
+
+    p*16 (wrapping s8 multiply) == 16*lo_signed; p - (p&15) == 16*hi_signed.
+    y = (dot(xq_lo, p*16) + dot(xq_hi, p - (p&15))) >> 4, all s8 MXU dots.
+    """
+    p, s = w
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    lo16 = p * jnp.int8(16)
+    hi16 = p - (p & jnp.int8(15))
+    dims = (((1,), (0,)), ((), ()))
+    acc = (jax.lax.dot_general(xq[:, :half], lo16, dims, preferred_element_type=jnp.int32)
+           + jax.lax.dot_general(xq[:, half:], hi16, dims, preferred_element_type=jnp.int32))
+    return (acc >> 4).astype(jnp.float32) * (sx * 0.01)
+
+
 VARIANTS = {
     "int8_weightscale": (v_int8_weightscale, "int8"),
     "int8_partialscale": (v_int8_partialscale, "int8"),
@@ -319,6 +337,7 @@ VARIANTS = {
     "w8a8_mxu": (v_w8a8_mxu, "int8"),
     "w8a8_flat": (v_w8a8_flat, "int8"),
     "w4a8_flat": (v_w4a8_flat, "int4packed"),
+    "w4a8_wrap": (v_w4a8_wrap, "int4packed"),
     "w4a8_flat_i8shift": (v_w4a8_flat_i8shift, "int4packed"),
     "w4a8_group": (v_w4a8_group, "int4packed"),
     "w4a8_groupmult": (v_w4a8_groupmult, "int4packed"),

@@ -13,6 +13,11 @@ from metalchat_tpu.train.lora import (
     lora_param_count,
     merge_lora,
 )
+from metalchat_tpu.train.checkpoint import (
+    load_train_state,
+    save_train_state,
+)
+from metalchat_tpu.train.data import PackedDataset, from_texts
 from metalchat_tpu.train.step import (
     TrainState,
     causal_lm_loss,
@@ -34,4 +39,8 @@ __all__ = [
     "combine",
     "trainable_lora",
     "trainable_full",
+    "PackedDataset",
+    "from_texts",
+    "save_train_state",
+    "load_train_state",
 ]

@@ -183,3 +183,65 @@ def test_sharded_train_step_matches_single_device(cpu_devices):
     np.testing.assert_allclose(got_loss, ref_loss, rtol=1e-6)
     for a, b in zip(ref_weights, got_weights):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_packed_dataset_shapes_and_masks():
+    from metalchat_tpu.train import PackedDataset
+
+    docs = [[1, 2, 3], [4, 5, 6, 7, 8], [9]]
+    ds = PackedDataset(docs, seq_len=4, eos_id=0)
+    # stream = 1 2 3 0 4 5 6 7 8 0 9 0 → windows of 5: 2 full + tail of 2
+    assert ds.tokens.shape == (3, 5)
+    assert ds.loss_mask.shape == (3, 4)
+    np.testing.assert_array_equal(ds.tokens[0], [1, 2, 3, 0, 4])
+    assert ds.loss_mask[-1].sum() == 1.0  # tail: one real (input,label) pair
+
+    batches = list(ds.batches(2, seed=0, drop_last=False))
+    assert len(batches) == 2
+    assert batches[0]["tokens"].shape == (2, 5)
+    # padded final batch rows are fully masked
+    assert batches[1]["loss_mask"][1].sum() == 0.0
+
+
+def test_packed_dataset_feeds_train_step():
+    from metalchat_tpu.train import PackedDataset
+
+    rng = np.random.default_rng(0)
+    docs = [rng.integers(1, CFG.vocab_size, rng.integers(5, 40)).tolist()
+            for _ in range(8)]
+    ds = PackedDataset(docs, seq_len=16, eos_id=0)
+    params = init_random_params(CFG, seed=7, dtype=jnp.float32)
+    trainable, frozen, spec = partition(params, trainable_full)
+    init_state, step_fn = make_train_step(CFG, optax.adam(1e-3), spec)
+    state = init_state(trainable)
+    losses = []
+    for batch in ds.batches(4, seed=1, epochs=3):
+        state, m = step_fn(state, frozen,
+                           {k: jnp.asarray(v) for k, v in batch.items()})
+        losses.append(float(m["loss"]))
+    assert len(losses) >= 3 and np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_train_state_save_load_resume(tmp_path):
+    from metalchat_tpu.train import load_train_state, save_train_state
+
+    params = init_random_params(CFG, seed=8, dtype=jnp.float32)
+    trainable, frozen, spec = partition(params, trainable_full)
+    opt = optax.adamw(1e-3)
+    init_state, step_fn = make_train_step(CFG, opt, spec)
+    state = init_state(trainable)
+    batch = make_batch(8)
+    for _ in range(3):
+        state, _ = step_fn(state, frozen, batch)
+
+    path = str(tmp_path / "train_state.safetensors")
+    save_train_state(path, state)
+    restored = load_train_state(path, init_state(trainable))
+    assert int(restored.step) == 3
+    # Resuming from the restored state reproduces the original trajectory.
+    s1, m1 = step_fn(state, frozen, batch)
+    s2, m2 = step_fn(restored, frozen, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(s1.trainable, s2.trainable):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
