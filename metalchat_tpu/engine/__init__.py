@@ -8,3 +8,4 @@ from metalchat_tpu.engine.generate import (  # noqa: F401
     make_decode_step,
     make_prefill,
 )
+from metalchat_tpu.engine.speculative import speculative_generate  # noqa: F401,E402

@@ -234,18 +234,25 @@ def _matmul_a8(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
         acc = jax.lax.dot_general(xq, qt.q, dims(contract_dim),
                                   preferred_element_type=jnp.int32)
     else:
-        # Half-split packed int4 → int8 nibbles via i32 (int8 shifts lower
-        # poorly on TPU), two flat s8 dots over the halves.
+        # Half-split packed int4 via the int8 WRAP TRICK — no widen/narrow
+        # relayouts at all (measured 485 vs 428 GB/s packed-effective on
+        # v5e vs i32 nibble extraction): for a packed byte p,
+        #   p * 16       == 16 · lo_signed   (wrapping s8 multiply)
+        #   p - (p & 15) == 16 · hi_signed
+        # so the two s8 MXU dots accumulate exactly 16× the true integer
+        # product; the i32 accumulator is a multiple of 16 and the
+        # arithmetic >> 4 recovers the exact sum.
         half = qt.in_features // 2
-        p32 = qt.q.astype(jnp.int32)
-        lo = (jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8).astype(jnp.int8)
-        hi = jnp.right_shift(p32, 4).astype(jnp.int8)
+        p = qt.q
+        lo16 = p * jnp.int8(16)
+        hi16 = p - jnp.bitwise_and(p, jnp.int8(15))
         acc = (
-            jax.lax.dot_general(xq[..., :half], lo, dims(contract_dim),
+            jax.lax.dot_general(xq[..., :half], lo16, dims(contract_dim),
                                 preferred_element_type=jnp.int32)
-            + jax.lax.dot_general(xq[..., half:], hi, dims(contract_dim),
+            + jax.lax.dot_general(xq[..., half:], hi16, dims(contract_dim),
                                   preferred_element_type=jnp.int32)
         )
+        acc = jax.lax.shift_right_arithmetic(acc, 4)
     out = acc.astype(jnp.float32) * sx * s_col
     return out.astype(dtype)
 
