@@ -97,6 +97,8 @@ def main() -> None:
     parser.add_argument("--kv", choices=["default", "bf16", "int8"], default="default",
                         help="override the KV cache dtype of the chosen config")
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--ctx", type=int, default=None,
+                        help="override max_seq_len (KV capacity)")
     parser.add_argument("--steps-lo", type=int, default=16)
     parser.add_argument("--steps-hi", type=int, default=144)
     parser.add_argument("--mode", choices=["decode", "prefill"], default="decode")
@@ -113,6 +115,8 @@ def main() -> None:
     from metalchat_tpu.models.transformer import forward
 
     cfg, params, quantized_kv = build(args.config)
+    if args.ctx:
+        cfg = cfg.replace(max_seq_len=args.ctx)
     if args.fuse:
         from metalchat_tpu.models.fuse import fuse_projections
 

@@ -325,6 +325,55 @@ def v_w4a8_wrap(x, w):
     return (acc >> 4).astype(jnp.float32) * (sx * 0.01)
 
 
+def _w4a8_pallas_call(x, p, block_out=512, block_in_packed=1024):
+    """Pallas kernel: wrap-trick unpack + two s8 MXU dots, int32 out."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x.shape[0]
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+
+    def kernel(x_lo_ref, x_hi_ref, p_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+        pp = p_ref[...]
+        lo16 = pp * jnp.int8(16)
+        hi16 = pp - (pp & jnp.int8(15))
+        acc_ref[...] += (
+            jnp.dot(x_lo_ref[...], lo16, preferred_element_type=jnp.int32)
+            + jnp.dot(x_hi_ref[...], hi16, preferred_element_type=jnp.int32))
+        o_ref[...] = acc_ref[...]
+
+    grid = (N // block_out, half // block_in_packed)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, block_in_packed), lambda j, k: (0, k)),
+            pl.BlockSpec((b, block_in_packed), lambda j, k: (0, k)),
+            pl.BlockSpec((block_in_packed, block_out), lambda j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((b, block_out), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b, block_out), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * K * N, bytes_accessed=p.size + x.nbytes,
+            transcendentals=0),
+    )(xq[:, :half], xq[:, half:], p)
+    return (out >> 4).astype(jnp.float32) * (sx * 0.01)
+
+
+def v_w4a8_pallas(x, w):
+    p, s = w
+    return _w4a8_pallas_call(x, p)
+
+
 VARIANTS = {
     "int8_weightscale": (v_int8_weightscale, "int8"),
     "int8_partialscale": (v_int8_partialscale, "int8"),
@@ -338,6 +387,7 @@ VARIANTS = {
     "w8a8_flat": (v_w8a8_flat, "int8"),
     "w4a8_flat": (v_w4a8_flat, "int4packed"),
     "w4a8_wrap": (v_w4a8_wrap, "int4packed"),
+    "w4a8_pallas": (v_w4a8_pallas, "int4packed"),
     "w4a8_flat_i8shift": (v_w4a8_flat_i8shift, "int4packed"),
     "w4a8_group": (v_w4a8_group, "int4packed"),
     "w4a8_groupmult": (v_w4a8_groupmult, "int4packed"),

@@ -82,8 +82,14 @@ class ModelConfig:
         return self.num_heads // self.num_kv_heads
 
     def layer_is_global(self, layer_idx: int) -> bool:
-        """Gemma-3 alternation: every `sliding_window_pattern`-th layer is global."""
-        if self.sliding_window is None or self.sliding_window_pattern <= 1:
+        """Sliding-window layout: pattern N>1 → every Nth layer is global
+        (Gemma-3 alternation); pattern 0 → every layer sliding (Mixtral);
+        pattern 1 / no window → all global."""
+        if self.sliding_window is None:
+            return True
+        if self.sliding_window_pattern == 0:
+            return False
+        if self.sliding_window_pattern == 1:
             return True
         return (layer_idx + 1) % self.sliding_window_pattern == 0
 
@@ -262,7 +268,9 @@ class MixtralConfig(ModelConfig):
             tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
             num_experts=int(cfg.get("num_local_experts", 8)),
             num_experts_per_tok=int(cfg.get("num_experts_per_tok", 2)),
+            # Mixtral's sliding window (when set) applies to EVERY layer.
             sliding_window=cfg.get("sliding_window"),
+            sliding_window_pattern=0 if cfg.get("sliding_window") else 1,
             bos_token_id=int(cfg.get("bos_token_id", 1)),
             eos_token_ids=_as_tuple(cfg.get("eos_token_id", 2)),
         )

@@ -55,7 +55,16 @@ def _route(xt: jax.Array, router: jax.Array, config: ModelConfig):
     return probs, gate_vals, idx
 
 
-def _moe_dense(xt: jax.Array, layer, config: ModelConfig) -> jax.Array:
+def _aux_loss(probs: jax.Array, idx: jax.Array, e: int) -> jax.Array:
+    """Switch-transformer load-balancing loss: E · Σ_e fraction_e · prob_e
+    (1.0 when perfectly balanced, → E when collapsed)."""
+    counts = jnp.sum(jax.nn.one_hot(idx, e, dtype=jnp.float32), axis=(0, 1))
+    fraction = counts / jnp.maximum(jnp.sum(counts), 1.0)
+    mean_prob = jnp.mean(probs, axis=0)
+    return e * jnp.sum(fraction * mean_prob)
+
+
+def _moe_dense(xt: jax.Array, layer, config: ModelConfig):
     e = config.num_experts
     probs, gate_vals, idx = _route(xt, layer["router"], config)
     # Full gate matrix [T, E]: zero except the renormalized top-k entries.
@@ -64,10 +73,11 @@ def _moe_dense(xt: jax.Array, layer, config: ModelConfig) -> jax.Array:
     outs = _expert_mlp(
         jnp.broadcast_to(xt[None], (e, *xt.shape)), layer, config
     )  # [E, T, H]
-    return jnp.einsum("te,eth->th", gates.astype(xt.dtype), outs)
+    y = jnp.einsum("te,eth->th", gates.astype(xt.dtype), outs)
+    return y, _aux_loss(probs, idx, e)
 
 
-def _moe_dispatch(xt: jax.Array, layer, config: ModelConfig) -> jax.Array:
+def _moe_dispatch(xt: jax.Array, layer, config: ModelConfig):
     t, h = xt.shape
     e, k = config.num_experts, config.num_experts_per_tok
     capacity = min(t, max(1, int(-(-t * k * config.expert_capacity_factor // e))))
@@ -92,18 +102,19 @@ def _moe_dispatch(xt: jax.Array, layer, config: ModelConfig) -> jax.Array:
     out = _expert_mlp(xin, layer, config)                     # [E, C, H]
     combine = jnp.einsum("tke,tkc,tk->tec", sel, slot_oh,
                          gate_vals.astype(xt.dtype))
-    return jnp.einsum("tec,ech->th", combine, out)
+    y = jnp.einsum("tec,ech->th", combine, out)
+    return y, _aux_loss(probs, idx, e)
 
 
-def moe_ffn(x: jax.Array, layer: Dict[str, jax.Array], config: ModelConfig) -> jax.Array:
-    """Sparse-MoE FFN for x [B, S, H] (replaces the dense SwiGLU)."""
+def moe_ffn(x: jax.Array, layer: Dict[str, jax.Array], config: ModelConfig):
+    """Sparse-MoE FFN for x [B, S, H] → (y, aux_load_balancing_loss)."""
     b, s, h = x.shape
     xt = x.reshape(b * s, h)
     if b * s <= DENSE_TOKEN_CUTOFF:
-        yt = _moe_dense(xt, layer, config)
+        yt, aux = _moe_dense(xt, layer, config)
     else:
-        yt = _moe_dispatch(xt, layer, config)
-    return yt.reshape(b, s, h).astype(x.dtype)
+        yt, aux = _moe_dispatch(xt, layer, config)
+    return yt.reshape(b, s, h).astype(x.dtype), aux
 
 
 def load_balancing_loss(xt: jax.Array, router: jax.Array, config: ModelConfig) -> jax.Array:
@@ -112,8 +123,4 @@ def load_balancing_loss(xt: jax.Array, router: jax.Array, config: ModelConfig) -
     Recompute from activations in the training loss (router matmuls are
     negligible next to the model forward)."""
     probs, _, idx = _route(xt.reshape(-1, xt.shape[-1]), router, config)
-    e = config.num_experts
-    counts = jnp.sum(jax.nn.one_hot(idx, e, dtype=jnp.float32), axis=(0, 1))
-    fraction = counts / jnp.maximum(jnp.sum(counts), 1.0)
-    mean_prob = jnp.mean(probs, axis=0)
-    return e * jnp.sum(fraction * mean_prob)
+    return _aux_loss(probs, idx, config.num_experts)

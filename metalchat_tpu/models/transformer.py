@@ -211,10 +211,11 @@ def _layer_step(
     x = x + attn
 
     h = _norm(x, layer, "ffn_norm", config)
+    aux = jnp.zeros((), jnp.float32)
     if config.num_experts:
         from metalchat_tpu.models.moe import moe_ffn
 
-        ffn = moe_ffn(h, layer, config)
+        ffn, aux = moe_ffn(h, layer, config)
     elif "w13" in layer:  # fused gate/up (models/fuse.py)
         fused = _biased(linear(h, layer["w13"]), layer, "w13_b", config)
         gate, up = jnp.split(fused, 2, axis=-1)
@@ -230,7 +231,7 @@ def _layer_step(
     if config.use_post_norms:
         ffn = ops.rms_norm(ffn, layer["post_ffn_norm"], eps=eps, offset=mu)
     x = x + ffn
-    return x, new_slices
+    return x, (new_slices, aux)
 
 
 def run_layers(
@@ -247,9 +248,12 @@ def run_layers(
     quantized_cache: bool,
     page_table: Optional[jax.Array] = None,
     remat: bool = False,
-) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+) -> Tuple[jax.Array, Tuple[jax.Array, ...], jax.Array]:
     """Scan `_layer_step` over a stack of layers (the shared layer loop of
-    `forward` and the pipeline-parallel stage executor)."""
+    `forward` and the pipeline-parallel stage executor).
+
+    Returns (x, new_cache_leaves, aux) — aux is the per-layer MoE
+    load-balancing loss [L_local] (zeros for dense layers)."""
 
     def scan_fn(carry, xs):
         layer, slices, layer_global = xs
@@ -262,7 +266,9 @@ def run_layers(
 
     if remat:
         scan_fn = jax.checkpoint(scan_fn)
-    return jax.lax.scan(scan_fn, x, (layers, cache_leaves, is_global))
+    x, (new_leaves, aux) = jax.lax.scan(
+        scan_fn, x, (layers, cache_leaves, is_global))
+    return x, new_leaves, aux
 
 
 def embed_tokens(params: Params, tokens: jax.Array, positions: jax.Array,
@@ -295,7 +301,8 @@ def forward(
     config: ModelConfig,
     *,
     remat: bool = False,
-) -> Tuple[jax.Array, Cache]:
+    with_aux: bool = False,
+):
     """One model step (prefill when S>1, decode when S==1).
 
     tokens: int32 [B, S]; start_pos: scalar int32 — the write offset into the
@@ -304,6 +311,8 @@ def forward(
 
     remat=True checkpoints each layer of the scan (recompute activations in
     the backward pass — the standard memory/FLOPs trade for training).
+    with_aux=True additionally returns the mean MoE load-balancing loss
+    (0.0 for dense models) for the training objective.
     """
     b, s = tokens.shape
     start_pos = jnp.asarray(start_pos, jnp.int32)
@@ -331,7 +340,7 @@ def forward(
         else:
             cache_leaves = (cache.k, cache.v)
 
-    x, new_leaves = run_layers(
+    x, new_leaves, aux = run_layers(
         x, params["layers"], cache_leaves, is_global,
         config=config, rope=params["rope"], positions=positions,
         offsets=offsets, start_pos=start_pos, quantized_cache=quantized,
@@ -347,6 +356,8 @@ def forward(
         new_cache = QuantizedKVCache(*new_leaves)
     else:
         new_cache = KVCache(*new_leaves)
+    if with_aux:
+        return logits, new_cache, jnp.mean(aux)
     return logits, new_cache
 
 

@@ -148,7 +148,7 @@ def make_pipeline_forward(
 
                 def run(ops):
                     x_in, mb_leaves = ops
-                    y, new_leaves = run_layers(
+                    y, new_leaves, _aux = run_layers(
                         x_in, layers_loc, mb_leaves, is_global_loc,
                         config=config, rope=rope, positions=mb_pos,
                         offsets=mb_offs, start_pos=mb_start_pos,

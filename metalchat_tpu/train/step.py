@@ -72,16 +72,24 @@ def causal_lm_loss(
     config: ModelConfig,
     *,
     remat: bool = True,
+    moe_aux_weight: float = 0.0,
 ) -> jax.Array:
-    """Mean next-token cross-entropy (f32) over masked positions."""
+    """Mean next-token cross-entropy (f32) over masked positions.
+
+    moe_aux_weight > 0 adds the router load-balancing loss (MoE models;
+    Switch-transformer default is ~0.01)."""
     b, s = tokens.shape
     inputs, labels = tokens[:, :-1], tokens[:, 1:]
     cache = KVCache.create(config, batch_size=b, max_seq_len=s - 1)
-    logits, _ = forward(params, cache, inputs, 0, config, remat=remat)
+    logits, _, aux = forward(params, cache, inputs, 0, config, remat=remat,
+                             with_aux=True)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     mask = loss_mask.astype(jnp.float32)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    loss = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if moe_aux_weight:
+        loss = loss + moe_aux_weight * aux
+    return loss
 
 
 @partial(

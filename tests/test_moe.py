@@ -69,7 +69,7 @@ def oracle(xt, layer, k=2):
 def test_dense_scheme_matches_oracle():
     layer = make_layer()
     xt = jax.random.normal(jax.random.PRNGKey(1), (8, 32), jnp.float32)
-    got = np.asarray(_moe_dense(xt, layer, CFG))
+    got = np.asarray(_moe_dense(xt, layer, CFG)[0])
     want = oracle(xt, layer)
     np.testing.assert_allclose(got, want, atol=2e-5)
 
@@ -79,8 +79,8 @@ def test_dispatch_matches_dense_with_headroom():
     cfg = CFG.replace(expert_capacity_factor=4.0)
     layer = make_layer(2)
     xt = jax.random.normal(jax.random.PRNGKey(3), (64, 32), jnp.float32)
-    dense = np.asarray(_moe_dense(xt, layer, cfg))
-    disp = np.asarray(_moe_dispatch(xt, layer, cfg))
+    dense = np.asarray(_moe_dense(xt, layer, cfg)[0])
+    disp = np.asarray(_moe_dispatch(xt, layer, cfg)[0])
     np.testing.assert_allclose(disp, dense, atol=2e-5)
 
 
@@ -89,17 +89,17 @@ def test_dispatch_capacity_drops_are_bounded():
     remain finite and mostly intact."""
     layer = make_layer(4)
     xt = jax.random.normal(jax.random.PRNGKey(5), (64, 32), jnp.float32)
-    dense = np.asarray(_moe_dense(xt, layer, CFG.replace()))
+    dense = np.asarray(_moe_dense(xt, layer, CFG.replace())[0])
 
     disp_tight = np.asarray(
-        _moe_dispatch(xt, layer, CFG.replace(expert_capacity_factor=0.5)))
+        _moe_dispatch(xt, layer, CFG.replace(expert_capacity_factor=0.5))[0])
     assert np.all(np.isfinite(disp_tight))
     # Tight capacity must actually drop something (differs from dense)...
     assert not np.allclose(disp_tight, dense, atol=2e-5)
 
     # ...and capacity=1.0 keeps a majority of tokens fully intact.
     disp_1 = np.asarray(
-        _moe_dispatch(xt, layer, CFG.replace(expert_capacity_factor=1.0)))
+        _moe_dispatch(xt, layer, CFG.replace(expert_capacity_factor=1.0))[0])
     same = np.isclose(disp_1, dense, atol=2e-5).all(axis=-1).mean()
     assert same > 0.25, same
 
@@ -183,3 +183,52 @@ def test_load_balancing_loss_range():
     loss = float(load_balancing_loss(xt, layer["router"], CFG))
     # Perfectly balanced → 1.0; collapsed → ≈ num_experts.
     assert 0.9 < loss < CFG.num_experts + 0.1
+
+
+def test_moe_training_with_aux_loss():
+    """MoE fine-tuning: loss descends and the aux weight is differentiable."""
+    import functools
+    import optax
+    from metalchat_tpu.train import (causal_lm_loss, make_train_step,
+                                     partition, trainable_full)
+
+    params = init_random_params(CFG, seed=3, dtype=jnp.float32)
+    trainable, frozen, spec = partition(params, trainable_full)
+    loss_fn = functools.partial(causal_lm_loss, moe_aux_weight=0.01)
+    init_state, step = make_train_step(CFG, optax.adam(3e-3), spec,
+                                       loss_fn=loss_fn)
+    state = init_state(trainable)
+    batch = {
+        "tokens": jnp.asarray(
+            np.random.default_rng(3).integers(0, 128, (4, 40)), jnp.int32),
+        "loss_mask": jnp.ones((4, 39), jnp.float32),
+    }
+    losses = []
+    for _ in range(8):
+        state, m = step(state, frozen, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.05, losses
+
+
+def test_forward_with_aux_returns_scalar():
+    from metalchat_tpu.models import forward
+
+    params = init_random_params(CFG, seed=4, dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, 128, (2, 40)), jnp.int32)
+    cache = KVCache.create(CFG, 2, 64, dtype=jnp.float32)
+    logits, _, aux = forward(params, cache, tokens, 0, CFG, with_aux=True)
+    # balanced-ish routing at random init → aux near 1.0
+    assert 0.8 < float(aux) < CFG.num_experts + 0.1
+
+    # dense model → aux exactly 0
+    from metalchat_tpu.config import LlamaConfig
+    dense_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_seq_len=64,
+        tie_word_embeddings=False)
+    dp = init_random_params(dense_cfg, seed=5, dtype=jnp.float32)
+    dc = KVCache.create(dense_cfg, 2, 64, dtype=jnp.float32)
+    _, _, aux0 = forward(dp, dc, tokens, 0, dense_cfg, with_aux=True)
+    assert float(aux0) == 0.0
