@@ -25,11 +25,19 @@ _NEG = -jnp.inf
 
 @dataclass(frozen=True)
 class SamplerConfig:
-    """Static sampling configuration (hashable → usable as a jit static arg)."""
+    """Static sampling configuration (hashable → usable as a jit static arg).
+
+    Beyond the reference's chain: min_p filtering and repetition /
+    frequency / presence penalties (applied against the token history —
+    pass `history` to `sample`)."""
 
     temperature: float = 0.6
     top_k: int = 50
     top_p: float = 0.9
+    min_p: float = 0.0                  # keep tokens with p >= min_p·p_max
+    repetition_penalty: float = 1.0     # >1 penalizes seen tokens (CTRL-style)
+    frequency_penalty: float = 0.0      # per-occurrence additive penalty
+    presence_penalty: float = 0.0       # one-time additive penalty
 
     @staticmethod
     def greedy() -> "SamplerConfig":
@@ -38,6 +46,11 @@ class SamplerConfig:
     @property
     def is_greedy(self) -> bool:
         return self.temperature <= 0.0
+
+    @property
+    def penalizes(self) -> bool:
+        return (self.repetition_penalty != 1.0 or self.frequency_penalty != 0.0
+                or self.presence_penalty != 0.0)
 
 
 def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
@@ -70,18 +83,63 @@ def top_p_mask(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits >= cutoff, logits, _NEG)
 
 
+def min_p_mask(logits: jax.Array, min_p: float) -> jax.Array:
+    """Keep tokens whose probability is ≥ min_p × p(argmax) — a scale-free
+    tail cut that adapts to the distribution's confidence."""
+    if min_p <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    cutoff = jnp.max(probs, axis=-1, keepdims=True) * min_p
+    return jnp.where(probs >= cutoff, logits, _NEG)
+
+
+def apply_penalties(
+    logits: jax.Array,        # [B, V]
+    history: jax.Array,       # int32 [B, T] token ids already in the context
+    config: SamplerConfig,
+    history_mask: Optional[jax.Array] = None,  # [B, T] 1=real token
+) -> jax.Array:
+    """Repetition (CTRL), frequency, and presence penalties from history.
+
+    Counts are computed with a scatter-add over the vocab (no host sync);
+    padded history positions are excluded via `history_mask`.
+    """
+    if not config.penalizes:
+        return logits
+    b, v = logits.shape
+    ones = jnp.ones(history.shape, jnp.float32)
+    if history_mask is not None:
+        ones = ones * history_mask.astype(jnp.float32)
+    counts = jnp.zeros((b, v), jnp.float32).at[
+        jnp.arange(b)[:, None], history].add(ones)
+    seen = counts > 0.0
+
+    out = logits.astype(jnp.float32)
+    if config.repetition_penalty != 1.0:
+        r = config.repetition_penalty
+        out = jnp.where(seen, jnp.where(out > 0, out / r, out * r), out)
+    out = out - counts * config.frequency_penalty
+    out = out - seen.astype(jnp.float32) * config.presence_penalty
+    return out
+
+
 def sample(
     logits: jax.Array,
     key: Optional[jax.Array],
     config: SamplerConfig = SamplerConfig(),
+    history: Optional[jax.Array] = None,
+    history_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Draw next-token ids [B] from logits [B, V]."""
     logits = logits.astype(jnp.float32)
+    if history is not None and config.penalizes:
+        logits = apply_penalties(logits, history, config, history_mask)
     if config.is_greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / config.temperature
     logits = top_k_mask(logits, config.top_k)
     logits = top_p_mask(logits, config.top_p)
+    logits = min_p_mask(logits, config.min_p)
     assert key is not None, "stochastic sampling requires a PRNG key"
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 

@@ -72,3 +72,54 @@ def test_multinomial_inverse_cdf():
 def test_default_matches_reference_chain():
     cfg = SamplerConfig()
     assert (cfg.temperature, cfg.top_k, cfg.top_p) == (0.6, 50, 0.9)
+
+
+def test_min_p_mask():
+    from metalchat_tpu.sampling import min_p_mask
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    masked = min_p_mask(logits, 0.2)   # cutoff = 0.5*0.2 = 0.1
+    kept = np.isfinite(np.asarray(masked))[0]
+    np.testing.assert_array_equal(kept, [True, True, True, False])
+    # disabled
+    np.testing.assert_array_equal(np.asarray(min_p_mask(logits, 0.0)),
+                                  np.asarray(logits))
+
+
+def test_penalties_shift_logits():
+    from metalchat_tpu.sampling import SamplerConfig, apply_penalties
+
+    logits = jnp.zeros((1, 8), jnp.float32).at[0, 2].set(1.0).at[0, 3].set(-1.0)
+    history = jnp.asarray([[2, 2, 3, 7]], jnp.int32)
+    cfg = SamplerConfig(repetition_penalty=2.0, frequency_penalty=0.1,
+                        presence_penalty=0.5)
+    out = np.asarray(apply_penalties(logits, history, cfg))
+    # token 2 (positive logit, seen twice): 1/2 - 2*0.1 - 0.5 = -0.2
+    np.testing.assert_allclose(out[0, 2], -0.2, atol=1e-6)
+    # token 3 (negative logit): -1*2 - 0.1 - 0.5 = -2.6
+    np.testing.assert_allclose(out[0, 3], -2.6, atol=1e-6)
+    # unseen token unchanged
+    np.testing.assert_allclose(out[0, 1], 0.0, atol=1e-6)
+
+
+def test_penalties_respect_history_mask():
+    from metalchat_tpu.sampling import SamplerConfig, apply_penalties
+
+    logits = jnp.zeros((1, 8), jnp.float32)
+    history = jnp.asarray([[5, 0, 0, 0]], jnp.int32)   # 0s are padding
+    mask = jnp.asarray([[1, 0, 0, 0]], jnp.float32)
+    cfg = SamplerConfig(presence_penalty=1.0)
+    out = np.asarray(apply_penalties(logits, history, cfg, mask))
+    assert out[0, 5] == -1.0 and out[0, 0] == 0.0
+
+
+def test_sample_with_penalties_avoids_repeats():
+    from metalchat_tpu.sampling import SamplerConfig, sample
+
+    # token 4 dominates, but a huge presence penalty after it appears in
+    # history pushes sampling elsewhere even greedily.
+    logits = jnp.zeros((1, 8), jnp.float32).at[0, 4].set(3.0).at[0, 1].set(2.0)
+    history = jnp.asarray([[4]], jnp.int32)
+    cfg = SamplerConfig(temperature=0.0, presence_penalty=10.0)
+    tok = int(sample(logits, None, cfg, history=history)[0])
+    assert tok == 1
