@@ -318,7 +318,7 @@ def v_w4a8_wrap(x, w):
     sx = jnp.max(jnp.abs(x)) / 127.0
     xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
     lo16 = p * jnp.int8(16)
-    hi16 = p - (p & jnp.int8(15))
+    hi16 = p & jnp.int8(-16)   # high nibble in place == 16*hi_signed
     dims = (((1,), (0,)), ((), ()))
     acc = (jax.lax.dot_general(xq[:, :half], lo16, dims, preferred_element_type=jnp.int32)
            + jax.lax.dot_general(xq[:, half:], hi16, dims, preferred_element_type=jnp.int32))
@@ -341,8 +341,13 @@ def _w4a8_pallas_call(x, p, block_out=512, block_in_packed=1024):
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
         pp = p_ref[...]
-        lo16 = pp * jnp.int8(16)
-        hi16 = pp - (pp & jnp.int8(15))
+        # Mosaic has no int8 multiply/shift; build lo16 = (p << 4) bytewise
+        # via an i32 reinterpret (shift + mask never cross byte boundaries
+        # after masking), and hi16 = p & 0xF0 is a pure byte mask.
+        p32 = pltpu.bitcast(pp, jnp.int32)
+        lo32 = jnp.left_shift(p32, 4) & jnp.int32(-252645136)  # 0xF0F0F0F0
+        lo16 = pltpu.bitcast(lo32, jnp.int8)
+        hi16 = pp & jnp.int8(-16)
         acc_ref[...] += (
             jnp.dot(x_lo_ref[...], lo16, preferred_element_type=jnp.int32)
             + jnp.dot(x_hi_ref[...], hi16, preferred_element_type=jnp.int32))
