@@ -59,6 +59,13 @@ def build(config_name: str):
         params = init_random_quantized_params(cfg, bits=8, group_size=32,
                                               max_seq_len=1024)
         quantized_kv = True
+    elif config_name == "gemma3-4b-int8":
+        from metalchat_tpu.config import Gemma3Config
+
+        cfg = Gemma3Config.gemma3_4b(max_seq_len=1024)
+        params = init_random_quantized_params(cfg, bits=8, group_size=None,
+                                              act_bits=8, max_seq_len=1024)
+        quantized_kv = True
     elif config_name == "1b-bf16":
         cfg = LlamaConfig.llama32_1b(max_seq_len=1024)
         params = init_random_params(cfg, dtype=jnp.bfloat16, max_seq_len=1024)

@@ -325,6 +325,179 @@ def v_w4a8_wrap(x, w):
     return (acc >> 4).astype(jnp.float32) * (sx * 0.01)
 
 
+def v_w4a8_mask2(x, w):
+    """Offset-nibble packing (low nibble stored as lo+8): unpack is pure
+    byte-wise AND/SUB — no shifts, no widening, no bitcasts.
+
+      lo_op = (p & 15) - 8      (exact signed low nibble)
+      hi_op = p & 0xF0          (== 16*hi; fold 1/16 into the f32 scale)
+    """
+    p, s = w
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    lo_op = (p & jnp.int8(15)) - jnp.int8(8)
+    hi_op = p & jnp.int8(-16)
+    dims = (((1,), (0,)), ((), ()))
+    acc_lo = jax.lax.dot_general(xq[:, :half], lo_op, dims,
+                                 preferred_element_type=jnp.int32)
+    acc_hi = jax.lax.dot_general(xq[:, half:], hi_op, dims,
+                                 preferred_element_type=jnp.int32)
+    y = acc_lo.astype(jnp.float32) + acc_hi.astype(jnp.float32) * 0.0625
+    return y * (sx * 0.01)
+
+
+def v_w4a8_mask3(x, w):
+    """Offset packing, 3-dot form: low-nibble dot uses p RAW (no unpack op
+    at all); the contamination 16*hi rides along and is cancelled by the
+    hi-mask dot. Only ONE derived operand (the mask).
+
+      dot(x_lo, p) = S_lo+8·sum(x_lo) + 16·C     (C = Σ x_lo·hi)
+      dot(x_lo, m) = 16·C ;  dot(x_hi, m) = 16·S_hi
+    """
+    p, s = w
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    x_lo, x_hi = xq[:, :half], xq[:, half:]
+    m = p & jnp.int8(-16)
+    dims = (((1,), (0,)), ((), ()))
+    d_raw = jax.lax.dot_general(x_lo, p, dims, preferred_element_type=jnp.int32)
+    d_lom = jax.lax.dot_general(x_lo, m, dims, preferred_element_type=jnp.int32)
+    d_him = jax.lax.dot_general(x_hi, m, dims, preferred_element_type=jnp.int32)
+    corr = 8 * jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+    y = ((d_raw - d_lom - corr).astype(jnp.float32)
+         + d_him.astype(jnp.float32) * 0.0625)
+    return y * (sx * 0.01)
+
+
+def _w4a8_pallas_mask_call(x, p, block_out=3584, block_in_packed=2048):
+    """Pallas kernel for offset-nibble packing: byte AND/SUB unpack in VMEM,
+    two s8 MXU dots; HBM traffic = packed bytes only."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x.shape[0]
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+
+    def kernel(x_lo_ref, x_hi_ref, p_ref, lo_ref, hi_ref, acc_lo, acc_hi):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            acc_lo[...] = jnp.zeros_like(acc_lo)
+            acc_hi[...] = jnp.zeros_like(acc_hi)
+        pp = p_ref[...]
+        lo_op = (pp & jnp.int8(15)) - jnp.int8(8)
+        hi_op = pp & jnp.int8(-16)
+        acc_lo[...] += jnp.dot(x_lo_ref[...], lo_op,
+                               preferred_element_type=jnp.int32)
+        acc_hi[...] += jnp.dot(x_hi_ref[...], hi_op,
+                               preferred_element_type=jnp.int32)
+        lo_ref[...] = acc_lo[...]
+        hi_ref[...] = acc_hi[...]
+
+    grid = (N // block_out, half // block_in_packed)
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, block_in_packed), lambda j, k: (0, k)),
+            pl.BlockSpec((b, block_in_packed), lambda j, k: (0, k)),
+            pl.BlockSpec((block_in_packed, block_out), lambda j, k: (k, j)),
+        ],
+        out_specs=[pl.BlockSpec((b, block_out), lambda j, k: (0, j))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, N), jnp.int32)] * 2,
+        scratch_shapes=[pltpu.VMEM((b, block_out), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * K * N, bytes_accessed=p.size + x.nbytes,
+            transcendentals=0),
+    )(xq[:, :half], xq[:, half:], p)
+    y = lo.astype(jnp.float32) + hi.astype(jnp.float32) * 0.0625
+    return y * (sx * 0.01)
+
+
+def v_w4a8_pallas_mask(x, w):
+    p, s = w
+    return _w4a8_pallas_mask_call(x, p)
+
+
+def _w4a8_pallas_mask3_call(x, p, block_out=3584, block_in_packed=2048):
+    """Pallas 3-dot kernel for offset-nibble packing. Mosaic legalizes int8
+    AND but not int8 add/sub/shift/mul — so the ONLY byte op is the mask;
+    the low-nibble value rides in via dot(x_lo, p_raw) and its contamination
+    (16*hi + 8 offset) is cancelled with the mask dot and a row-sum, both in
+    i32/f32 domain:
+
+      dot(x_lo, p) - dot(x_lo, m) - 8*sum(x_lo) == Σ x_lo·lo_signed
+      dot(x_hi, m) == 16 · Σ x_hi·hi_signed
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x.shape[0]
+    half = K // 2
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+
+    def kernel(x_lo_ref, x_hi_ref, p_ref, lo_ref, hi_ref, acc_lo, acc_hi):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            acc_lo[...] = jnp.zeros_like(acc_lo)
+            acc_hi[...] = jnp.zeros_like(acc_hi)
+        pp = p_ref[...]
+        m = pp & jnp.int8(-16)
+        xl = x_lo_ref[...]
+        acc_lo[...] += (jnp.dot(xl, pp, preferred_element_type=jnp.int32)
+                        - jnp.dot(xl, m, preferred_element_type=jnp.int32))
+        acc_hi[...] += jnp.dot(x_hi_ref[...], m,
+                               preferred_element_type=jnp.int32)
+        lo_ref[...] = acc_lo[...]
+        hi_ref[...] = acc_hi[...]
+
+    grid = (N // block_out, half // block_in_packed)
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, block_in_packed), lambda j, k: (0, k)),
+            pl.BlockSpec((b, block_in_packed), lambda j, k: (0, k)),
+            pl.BlockSpec((block_in_packed, block_out), lambda j, k: (k, j)),
+        ],
+        out_specs=[pl.BlockSpec((b, block_out), lambda j, k: (0, j))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, N), jnp.int32)] * 2,
+        scratch_shapes=[pltpu.VMEM((b, block_out), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * K * N, bytes_accessed=p.size + x.nbytes,
+            transcendentals=0),
+    )(xq[:, :half], xq[:, half:], p)
+    corr = 8 * jnp.sum(xq[:, :half].astype(jnp.int32), axis=1, keepdims=True)
+    y = (lo - corr).astype(jnp.float32) + hi.astype(jnp.float32) * 0.0625
+    return y * (sx * 0.01)
+
+
+def v_w4a8_pallas_mask3(x, w):
+    p, s = w
+    return _w4a8_pallas_mask3_call(x, p, block_out=1792, block_in_packed=2048)
+
+
+def make_mask3_variant(block_out, block_in_packed, pad_rows=0):
+    def v(x, w):
+        p, s = w
+        if pad_rows:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad_rows - x.shape[0], K), x.dtype)])
+            return _w4a8_pallas_mask3_call(x, p, block_out=block_out,
+                                           block_in_packed=block_in_packed)[:1]
+        return _w4a8_pallas_mask3_call(x, p, block_out=block_out,
+                                       block_in_packed=block_in_packed)
+    return v
+
+
 def _w4a8_pallas_call(x, p, block_out=512, block_in_packed=1024):
     """Pallas kernel: wrap-trick unpack + two s8 MXU dots, int32 out."""
     import functools
@@ -379,6 +552,14 @@ def v_w4a8_pallas(x, w):
     return _w4a8_pallas_call(x, p)
 
 
+def make_w4a8_pallas_variant(block_out, block_in_packed):
+    def v(x, w):
+        p, s = w
+        return _w4a8_pallas_call(x, p, block_out=block_out,
+                                 block_in_packed=block_in_packed)
+    return v
+
+
 VARIANTS = {
     "int8_weightscale": (v_int8_weightscale, "int8"),
     "int8_partialscale": (v_int8_partialscale, "int8"),
@@ -392,7 +573,21 @@ VARIANTS = {
     "w8a8_flat": (v_w8a8_flat, "int8"),
     "w4a8_flat": (v_w4a8_flat, "int4packed"),
     "w4a8_wrap": (v_w4a8_wrap, "int4packed"),
+    "w4a8_mask2": (v_w4a8_mask2, "int4packed"),
+    "w4a8_mask3": (v_w4a8_mask3, "int4packed"),
+    "w4a8_pallas_mask": (v_w4a8_pallas_mask, "int4packed"),
+    "w4a8_pallas_mask3": (v_w4a8_pallas_mask3, "int4packed"),
+    "w4a8_pallas_mask3_o896_k2048": (make_mask3_variant(896, 2048), "int4packed"),
+    "w4a8_pallas_mask3_o1792_k1024": (make_mask3_variant(1792, 1024), "int4packed"),
+    "w4a8_pallas_mask3_o896_k1024": (make_mask3_variant(896, 1024), "int4packed"),
+    "w4a8_pallas_mask3_pad8": (make_mask3_variant(896, 2048, pad_rows=8), "int4packed"),
+    "w4a8_pallas_mask3_pad8_o1792": (make_mask3_variant(1792, 2048, pad_rows=8), "int4packed"),
     "w4a8_pallas": (v_w4a8_pallas, "int4packed"),
+    "w4a8_pallas_o1792_k2048": (make_w4a8_pallas_variant(1792, 2048), "int4packed"),
+    "w4a8_pallas_o1792_k1024": (make_w4a8_pallas_variant(1792, 1024), "int4packed"),
+    "w4a8_pallas_o3584_k2048": (make_w4a8_pallas_variant(3584, 2048), "int4packed"),
+    "w4a8_pallas_o896_k2048": (make_w4a8_pallas_variant(896, 2048), "int4packed"),
+    "w4a8_pallas_o512_k2048": (make_w4a8_pallas_variant(512, 2048), "int4packed"),
     "w4a8_flat_i8shift": (v_w4a8_flat_i8shift, "int4packed"),
     "w4a8_group": (v_w4a8_group, "int4packed"),
     "w4a8_groupmult": (v_w4a8_groupmult, "int4packed"),
@@ -429,10 +624,16 @@ def measure(name, step, kind):
 
 
 def main():
+    global M_REPEATS
     p = argparse.ArgumentParser()
     p.add_argument("--variants", default=",".join(VARIANTS))
+    p.add_argument("--repeats", type=int, default=M_REPEATS,
+                   help="fori_loop repeats; raise if results exceed roofline "
+                        "(signal must dominate ~10ms tunnel jitter)")
     args = p.parse_args()
-    print(f"device: {jax.devices()[0].platform}, shapes K={K} N={N} G={G}")
+    M_REPEATS = args.repeats
+    print(f"device: {jax.devices()[0].platform}, shapes K={K} N={N} G={G}, "
+          f"M={M_REPEATS}")
     for name in args.variants.split(","):
         step, kind = VARIANTS[name]
         measure(name, step, kind)

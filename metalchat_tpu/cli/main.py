@@ -164,6 +164,22 @@ def _cmd_serve(args) -> int:
         cache_mode="paged" if args.paged else "dense",
         quantized_kv=args.quantized_kv,
     )
+    if args.http is not None:
+        import time as _time
+
+        from metalchat_tpu.engine.http import InferenceServer
+
+        server = InferenceServer(engine, tokenizer, model_name=args.model,
+                                 default_max_tokens=args.max_tokens,
+                                 eos_ids=eos_ids)
+        port = server.start(host=args.host, port=args.http)
+        print(f"listening on http://{args.host}:{port}", file=sys.stderr)
+        try:
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
+        return 0
     requests = []
     texts = {}
     source = open(args.input) if args.input else sys.stdin
@@ -308,6 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
     serve = sub.add_parser("serve", help="batch-serve JSONL prompts")
     add_infer_args(serve)
     serve.add_argument("--input", default=None, help="JSONL file (default stdin)")
+    serve.add_argument("--http", type=int, default=None, metavar="PORT",
+                       help="serve an OpenAI-compatible HTTP API instead of JSONL")
+    serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--slots", type=int, default=8)
     serve.add_argument("--paged", action="store_true")
     serve.add_argument("--quantized-kv", action="store_true")

@@ -201,6 +201,38 @@ class Gemma3Config(ModelConfig):
     model_type: str = "gemma3"
 
     @staticmethod
+    def gemma3_1b(**kw: Any) -> "Gemma3Config":
+        """Gemma-3-1B-it text config (google/gemma-3-1b-it config.json)."""
+        defaults: dict = dict(
+            vocab_size=262144, hidden_size=1152, intermediate_size=6912,
+            num_layers=26, num_heads=4, num_kv_heads=1, head_dim=256,
+            rms_norm_eps=1e-6, rope_theta=1_000_000.0,
+            rope_local_theta=10_000.0, sliding_window=512,
+            sliding_window_pattern=6, max_seq_len=32768,
+            tie_word_embeddings=True, norm_weight_offset=1.0,
+            use_qk_norm=True, use_post_norms=True,
+            embedding_scale=1152.0 ** 0.5, hidden_act="gelu_tanh",
+            query_scale=256.0 ** -0.5, bos_token_id=2, eos_token_ids=(1, 106),
+        )
+        return Gemma3Config(**{**defaults, **kw})
+
+    @staticmethod
+    def gemma3_4b(**kw: Any) -> "Gemma3Config":
+        """Gemma-3-4B-it text config (google/gemma-3-4b-it text_config)."""
+        defaults: dict = dict(
+            vocab_size=262208, hidden_size=2560, intermediate_size=10240,
+            num_layers=34, num_heads=8, num_kv_heads=4, head_dim=256,
+            rms_norm_eps=1e-6, rope_theta=1_000_000.0,
+            rope_local_theta=10_000.0, sliding_window=1024,
+            sliding_window_pattern=6, max_seq_len=131072,
+            tie_word_embeddings=True, norm_weight_offset=1.0,
+            use_qk_norm=True, use_post_norms=True,
+            embedding_scale=2560.0 ** 0.5, hidden_act="gelu_tanh",
+            query_scale=256.0 ** -0.5, bos_token_id=2, eos_token_ids=(1, 106),
+        )
+        return Gemma3Config(**{**defaults, **kw})
+
+    @staticmethod
     def from_hf_config(cfg: Mapping[str, Any]) -> "Gemma3Config":
         """Map a HuggingFace Gemma-3 ``config.json`` (reference: src/gemma.cc)."""
         if "text_config" in cfg:  # multimodal checkpoints nest the text model

@@ -59,7 +59,7 @@ def _int4_kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
 
     # Mosaic has no int8 vector shifts; widen to i32 for nibble extraction.
     q = q_ref[...].astype(jnp.int32)
-    lo = (jnp.bitwise_xor(jnp.bitwise_and(q, 15), 8) - 8).astype(jnp.bfloat16)
+    lo = (jnp.bitwise_and(q, 15) - 8).astype(jnp.bfloat16)  # offset-binary
     hi = jnp.right_shift(q, 4).astype(jnp.bfloat16)
     w_lo = lo * _sublane_repeat(s_lo_ref[...].astype(jnp.bfloat16), group_size)
     w_hi = hi * _sublane_repeat(s_hi_ref[...].astype(jnp.bfloat16), group_size)

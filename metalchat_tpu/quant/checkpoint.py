@@ -72,6 +72,8 @@ def export_quantized(params: Params, config: ModelConfig) -> tuple[Dict[str, np.
             tensors[prefix + ".scales"] = sel(leaf.scales)
             meta.setdefault("bits", str(leaf.bits))
             meta.setdefault("group_size", "channel" if pc else str(leaf.group_size))
+            if leaf.bits == 4:
+                meta.setdefault("int4_packing", "halfsplit-offsetlo")
             if leaf.act_bits:
                 meta.setdefault("act_bits", str(leaf.act_bits))
         else:
@@ -110,6 +112,12 @@ def load_quantized(
 ) -> Params:
     """Load a native-format quantized checkpoint back into a param tree."""
     bits = int(doc.metadata.get("bits", 8))
+    if bits == 4:
+        packing = doc.metadata.get("int4_packing", "halfsplit-offsetlo")
+        if packing != "halfsplit-offsetlo":
+            raise ValueError(
+                f"unsupported int4 packing {packing!r}: this build stores the "
+                "low nibble offset-binary (lo+8); re-export the checkpoint")
     act_bits_meta = doc.metadata.get("act_bits")
     act_bits = int(act_bits_meta) if act_bits_meta else None
     lora_scale = float(doc.metadata.get("lora_scale", 2.0))

@@ -96,24 +96,28 @@ class LoraLinear:
 
 
 def _pack_int4(w4: np.ndarray) -> np.ndarray:
-    """Pack int4 values [-8, 7] along the in axis, two per byte, **half-split**:
-    byte row r holds w[r] (low nibble) and w[r + in//2] (high nibble).
+    """Pack int4 values [-8, 7] along the in axis, two per byte, **half-split
+    with offset-binary low nibble**: byte row r holds w[r]+8 (low nibble,
+    offset-binary) and w[r + in//2] (high nibble, two's complement).
 
-    Half-split (vs. adjacent-pair packing) is chosen for the Pallas kernel:
-    unpacking is two shifts + two half-size matmuls with no sublane
-    interleave/relayout on the TPU (ops/quant_matmul_pallas.py).
+    Half-split (vs. adjacent-pair packing) keeps unpacking free of sublane
+    interleave/relayout on the TPU. The low nibble is stored offset-binary
+    (lo+8) so the signed byte value is exactly (lo+8) + 16·hi, which makes
+    the W4A8 decode path a pure-masking 3-dot MXU formulation — the packed
+    byte is a valid s8 dot operand with NO unpack arithmetic at all
+    (`_matmul_a8`; measured 512 vs 485 GB/s packed-effective on v5e vs the
+    two's-complement wrap-trick, benchmarks/quant_microbench.py).
     """
     half = w4.shape[-2] // 2
-    lo = w4[..., :half, :] & 0x0F
+    lo = (w4[..., :half, :] + 8) & 0x0F
     hi = (w4[..., half:, :] & 0x0F) << 4
     return (lo | hi).astype(np.int8)
 
 
 def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """int8 [..., in//2, out] → int8 [..., in, out] (sign-extended nibbles)."""
-    lo = jnp.left_shift(packed, 4)
-    lo = jnp.right_shift(lo, 4)  # arithmetic: sign-extends the low nibble
-    hi = jnp.right_shift(packed, 4)
+    """int8 [..., in//2, out] → int8 [..., in, out] (signed nibble values)."""
+    lo = jnp.bitwise_and(packed, jnp.int8(15)) - jnp.int8(8)
+    hi = jnp.right_shift(packed, 4)  # arithmetic: high nibble is 2's-compl.
     return jnp.concatenate([lo, hi], axis=-2)
 
 
@@ -233,27 +237,42 @@ def _matmul_a8(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     if qt.bits == 8:
         acc = jax.lax.dot_general(xq, qt.q, dims(contract_dim),
                                   preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * sx * s_col
+        return out.astype(dtype)
+
+    # Half-split packed int4 with OFFSET-BINARY low nibble (lo+8 stored):
+    # the signed byte value is exactly (lo+8) + 16·hi, so the raw packed
+    # byte IS a valid s8 dot operand and the only derived operand is the
+    # byte mask m = p & 0xF0 == 16·hi. Exact integer identities:
+    #   dot(x_lo, p) - dot(x_lo, m) - 8·Σx_lo == Σ x_lo·lo
+    #   dot(x_hi, m)                          == 16 · Σ x_hi·hi
+    # Decode (few rows, HBM-bound): the 3-dot form above — fastest measured
+    # formulation on v5e (512 GB/s packed-effective vs 485 wrap-trick / 428
+    # i32-extract; MXU time is negligible at matvec shapes). Prefill (many
+    # rows, MXU-bound): a 2-dot form with the low nibble unpacked bytewise
+    # ((p & 15) - 8 — int8 AND/SUB fuse into the operand) to avoid the
+    # third dot's 1.5× FLOPs.
+    half = qt.in_features // 2
+    p = qt.q
+    m = jnp.bitwise_and(p, jnp.int8(-16))
+    x_lo, x_hi = xq[..., :half], xq[..., half:]
+    rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    d = dims(contract_dim)
+    if rows <= 128:
+        d_raw = jax.lax.dot_general(x_lo, p, d, preferred_element_type=jnp.int32)
+        d_lom = jax.lax.dot_general(x_lo, m, d, preferred_element_type=jnp.int32)
+        d_him = jax.lax.dot_general(x_hi, m, d, preferred_element_type=jnp.int32)
+        corr = 8 * jnp.sum(x_lo.astype(jnp.int32), axis=-1, keepdims=True)
+        acc_lo = d_raw - d_lom - corr
+        acc_hi = d_him
     else:
-        # Half-split packed int4 via the int8 WRAP TRICK — no widen/narrow
-        # relayouts at all (measured 485 vs 428 GB/s packed-effective on
-        # v5e vs i32 nibble extraction): for a packed byte p,
-        #   p * 16   == 16 · lo_signed   (wrapping s8 multiply)
-        #   p & 0xF0 == 16 · hi_signed   (high nibble in place)
-        # so the two s8 MXU dots accumulate exactly 16× the true integer
-        # product; the i32 accumulator is a multiple of 16 and the
-        # arithmetic >> 4 recovers the exact sum.
-        half = qt.in_features // 2
-        p = qt.q
-        lo16 = p * jnp.int8(16)
-        hi16 = jnp.bitwise_and(p, jnp.int8(-16))
-        acc = (
-            jax.lax.dot_general(xq[..., :half], lo16, dims(contract_dim),
-                                preferred_element_type=jnp.int32)
-            + jax.lax.dot_general(xq[..., half:], hi16, dims(contract_dim),
-                                  preferred_element_type=jnp.int32)
-        )
-        acc = jax.lax.shift_right_arithmetic(acc, 4)
-    out = acc.astype(jnp.float32) * sx * s_col
+        lo_op = jnp.bitwise_and(p, jnp.int8(15)) - jnp.int8(8)
+        acc_lo = jax.lax.dot_general(x_lo, lo_op, d,
+                                     preferred_element_type=jnp.int32)
+        acc_hi = jax.lax.dot_general(x_hi, m, d,
+                                     preferred_element_type=jnp.int32)
+    acc = acc_lo.astype(jnp.float32) + acc_hi.astype(jnp.float32) * 0.0625
+    out = acc * sx * s_col
     return out.astype(dtype)
 
 
@@ -310,7 +329,7 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     packed = qt.q
     half, out_features = packed.shape[-2:]
     p32 = packed.astype(jnp.int32)
-    lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
+    lo = jnp.bitwise_and(p32, 15) - 8  # offset-binary low nibble
     hi = jnp.right_shift(p32, 4)
     if g >= qt.in_features:  # per-channel: the single group spans both halves
         half_groups, g = 1, half
@@ -347,7 +366,7 @@ def _quant_matmul_transposed(x: jax.Array, qt: QuantizedTensor, scales) -> jax.A
     packed = qt.q  # [out, in/2], half-split along in
     out_features, half = packed.shape[-2:]
     p32 = packed.astype(jnp.int32)
-    lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
+    lo = jnp.bitwise_and(p32, 15) - 8  # offset-binary low nibble
     hi = jnp.right_shift(p32, 4)
     if g >= qt.in_features:  # per-channel: the single group spans both halves
         half_groups, g = 1, half
@@ -431,7 +450,7 @@ def lookup_embedding(tokens: jax.Array, embed) -> jax.Array:
         # Row-major table: groups run along H (axis -1 of each row).
         q = embed.q[tokens]  # [..., H] int8 (packed if int4)
         if embed.bits == 4:
-            lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
+            lo = jnp.bitwise_and(q, jnp.int8(15)) - jnp.int8(8)
             hi = jnp.right_shift(q, 4)
             q = jnp.concatenate([lo, hi], axis=-1)  # half-split along H
         s = embed.scales[tokens]  # [..., H/group]
@@ -491,6 +510,12 @@ def init_random_quantized_params(
         "w3": qlin(next(keys), h, f),
         "w2": qlin(next(keys), f, h),
     }
+    if getattr(config, "use_qk_norm", False):
+        layers["q_norm"] = jnp.ones((L, hd), jnp.bfloat16)
+        layers["k_norm"] = jnp.ones((L, hd), jnp.bfloat16)
+    if getattr(config, "use_post_norms", False):
+        layers["post_attn_norm"] = jnp.ones((L, h), jnp.bfloat16)
+        layers["post_ffn_norm"] = jnp.ones((L, h), jnp.bfloat16)
     embed = (jax.random.normal(next(keys), (config.vocab_size, h)) * 0.02).astype(
         jnp.bfloat16
     )

@@ -19,9 +19,12 @@ def test_halfsplit_pack_roundtrip():
     w4 = rng.integers(-8, 8, (64, 16)).astype(np.int8)
     packed = _pack_int4(w4)
     assert packed.shape == (32, 16)
-    lo = (packed << 4).astype(np.int8) >> 4
+    lo = (packed & 0x0F).astype(np.int8) - 8  # low nibble is offset-binary
     hi = packed.astype(np.int8) >> 4
     np.testing.assert_array_equal(np.concatenate([lo, hi], axis=0), w4)
+    # signed byte value == (lo+8) + 16*hi — the mask3 dot-operand identity
+    np.testing.assert_array_equal(
+        packed.astype(np.int32), (lo + 8) + 16 * hi.astype(np.int32))
     np.testing.assert_array_equal(np.asarray(_unpack_int4(jnp.asarray(packed))), w4)
 
 

@@ -169,3 +169,51 @@ def test_zero_row_activation_guard():
     x = jnp.zeros((1, 32), jnp.float32)
     got = np.asarray(quant_matmul(x, qt))
     assert np.all(got == 0.0) and np.all(np.isfinite(got))
+
+
+def test_quantized_gemma3_forward_finite():
+    """Gemma-3 arch switches (qk-norm, post-norms, sliding windows) work with
+    directly-initialized quantized params (bench config gemma3-4b-int8)."""
+    from metalchat_tpu.cache import QuantizedKVCache
+    from metalchat_tpu.config import Gemma3Config
+    from metalchat_tpu.quant.quantize import init_random_quantized_params
+
+    cfg = Gemma3Config.gemma3_1b(
+        max_seq_len=64, vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
+        sliding_window=16, embedding_scale=8.0, query_scale=None)
+    params = init_random_quantized_params(cfg, bits=8, group_size=None,
+                                          act_bits=8, max_seq_len=64)
+    assert "q_norm" in params["layers"] and "post_ffn_norm" in params["layers"]
+    cache = QuantizedKVCache.create(cfg, 1, 64)
+    toks = jnp.arange(8, dtype=jnp.int32)[None]
+    logits, cache = jax.jit(forward, static_argnames="config")(
+        params, cache, toks, 0, cfg)
+    assert logits.shape == (1, 8, 256) and bool(jnp.isfinite(logits).all())
+    logits2, _ = jax.jit(forward, static_argnames="config")(
+        params, cache, toks[:, :1], 8, cfg)
+    assert logits2.shape == (1, 1, 256) and bool(jnp.isfinite(logits2).all())
+
+
+def test_gemma3_presets_construct():
+    from metalchat_tpu.config import Gemma3Config
+
+    for preset in (Gemma3Config.gemma3_1b, Gemma3Config.gemma3_4b):
+        cfg = preset(max_seq_len=128)
+        assert cfg.max_seq_len == 128
+        assert cfg.use_qk_norm and cfg.use_post_norms
+        assert cfg.sliding_window and cfg.sliding_window_pattern == 6
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_w4a8_mask3_and_unpack_paths_bitexact(transposed):
+    """The 3-dot mask formulation (decode, rows<=128) and the 2-dot unpack
+    formulation (prefill) are the SAME integer arithmetic — outputs must be
+    bit-identical for identical rows."""
+    w = rand_w(11, 128, 64)
+    qt = quantize(w, bits=4, group_size=None, act_bits=8, transposed=transposed)
+    x = rand_w(12, 1, 128)
+    y_decode = np.asarray(quant_matmul(x, qt))              # rows=1 → mask3
+    y_prefill = np.asarray(quant_matmul(jnp.tile(x, (200, 1)), qt))  # 2-dot
+    np.testing.assert_array_equal(y_prefill[0], y_decode[0])
+    np.testing.assert_array_equal(y_prefill[199], y_decode[0])
