@@ -23,7 +23,9 @@ Other configs: --config {8b-int4, 8b-w8a8, 1b-bf16, 1b-int8, small}.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
+import os
 import time
 
 import jax
@@ -84,16 +86,27 @@ def build(config_name: str):
 
 
 def bytes_per_token(cfg, params, quantized_kv: bool, kv_len: int, batch: int) -> float:
-    """HBM bytes read per decoded token (weights+scales once, KV per row)."""
-    import numpy as np
+    """HBM bytes read per decoded token.
 
-    weight_bytes = sum(
-        x.size * x.dtype.itemsize
-        for x in jax.tree.leaves(params)
-    ) - sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params["rope"]))
+    Counts: every weight leaf EXCEPT the embedding table (decode gathers ONE
+    row of it, not the table — VERDICT r1 flagged the old all-params sum as
+    flattering the roofline by ~1 GB/token on 8B) and the rope tables (one
+    row), plus the KV payload and scales actually streamed per row at the
+    average fill level kv_len/2.
+    """
+    def nbytes(tree) -> int:
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+    weight_bytes = (
+        nbytes(params)
+        - nbytes(params["rope"])
+        - nbytes(params["embed"])
+        + cfg.hidden_size * 2  # the one gathered embedding row (bf16)
+    )
+    kv_payload = (1 if quantized_kv else 2)
     kv_bytes_row = (
-        2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim * (kv_len / 2)
-        * (1 if quantized_kv else 2)
+        2 * cfg.num_layers * cfg.num_kv_heads * (kv_len / 2)
+        * (cfg.head_dim * kv_payload + (4 if quantized_kv else 0))
     )
     return weight_bytes + batch * kv_bytes_row
 
@@ -109,12 +122,12 @@ def main() -> None:
     parser.add_argument("--steps-lo", type=int, default=16)
     parser.add_argument("--steps-hi", type=int, default=144)
     parser.add_argument("--mode", choices=["decode", "prefill"], default="decode")
+    parser.add_argument("--no-ttft", action="store_true",
+                        help="skip the TTFT measurement in decode mode")
     parser.add_argument("--fuse", action="store_true",
                         help="fuse QKV/gate-up projections (measured neutral "
                              "at 8B decode on v5e; useful at smaller sizes)")
     args = parser.parse_args()
-
-    import functools
 
     import numpy as np
 
@@ -190,16 +203,55 @@ def main() -> None:
 
     bpt = bytes_per_token(cfg, params, quantized_kv, max_seq, args.batch)
     roofline = HBM_BW / bpt * args.batch
-    print(
-        json.dumps(
-            {
-                "metric": f"llama_{args.config}_decode_tokens_per_sec",
-                "value": round(tokens_per_sec, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(tokens_per_sec / roofline, 4),
-            }
-        )
-    )
+
+    result = {
+        "metric": f"llama_{args.config}_decode_tokens_per_sec",
+        "value": round(tokens_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_sec / roofline, 4),
+    }
+
+    if not args.no_ttft:
+        # TTFT p50: prefill(n)+sample wall-time with the tunnel round-trip
+        # subtracted (a trivial synced program measures the fixed ~1.7 s
+        # transport latency; on directly-attached hardware the subtraction
+        # is ~0 and harmless).
+        trivial = jax.jit(lambda x: x + 1)
+        def null_sync() -> float:
+            t0 = time.perf_counter()
+            np.asarray(trivial(jnp.zeros((8,), jnp.float32)))
+            return time.perf_counter() - t0
+        null_sync()
+        tunnel = float(np.median([null_sync() for _ in range(5)]))
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def prefill_once(params, toks, n: int):
+            cache = cls.create(cfg, args.batch, max_seq)
+            logits, _ = forward(params, cache, toks, 0, cfg)
+            return jnp.argmax(logits[:, -1], -1)
+
+        n = min(512, max_seq - 16)
+        toks = jnp.ones((args.batch, n), jnp.int32)
+        def ttft_run() -> float:
+            t0 = time.perf_counter()
+            np.asarray(prefill_once(params, toks, n))
+            return time.perf_counter() - t0
+        ttft_run()  # compile
+        samples = [ttft_run() for _ in range(5)]
+        ttft = max(float(np.median(samples)) - tunnel, 0.0)
+        result["ttft_p50_ms"] = round(ttft * 1e3, 2)
+        result["ttft_prefill_len"] = n
+
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "QUALITY.json")) as fh:
+            quality = json.load(fh)
+        result["ppl_delta_pct"] = quality.get("headline_ppl_delta_pct")
+        result["ppl_scheme"] = quality.get("headline_scheme")
+    except (OSError, ValueError):
+        pass
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
