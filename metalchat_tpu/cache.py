@@ -184,6 +184,53 @@ def update_layer_cache_quantized(
     )
 
 
+def _write_rows_stacked(
+    cache: jax.Array,      # [L, B, n_kv, S_max, X]
+    new: jax.Array,        # [B, n_kv, S, X]
+    layer: jax.Array,      # scalar int32
+    start_pos: jax.Array,  # scalar or [B]
+) -> jax.Array:
+    """Write one layer's rows into the STACKED cache (decode fast path:
+    the cache is a loop carry, updated in place under donation, so the
+    per-layer slice never exists as a separate buffer)."""
+    layer = jnp.asarray(layer, jnp.int32)
+    start_pos = jnp.asarray(start_pos, jnp.int32)
+    if start_pos.ndim == 0:
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            cache, new[None], (layer, zero, zero, start_pos, zero))
+
+    def one(row_cache, row_new, pos):  # row_cache [L, n_kv, S_max, X]
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            row_cache, row_new[None], (layer, zero, pos, zero))
+
+    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(cache, new, start_pos)
+
+
+def update_stacked_layer_cache(cache_k, cache_v, k, v, layer, start_pos):
+    """Stacked-cache analog of `update_layer_cache`: k/v arrive
+    [B, S, n_kv, hd] and are written head-major at [layer, :, :, start_pos]."""
+    k = jnp.swapaxes(k, 1, 2).astype(cache_k.dtype)
+    v = jnp.swapaxes(v, 1, 2).astype(cache_v.dtype)
+    return (_write_rows_stacked(cache_k, k, layer, start_pos),
+            _write_rows_stacked(cache_v, v, layer, start_pos))
+
+
+def update_stacked_layer_cache_quantized(
+    cache_k, cache_v, k_scale, v_scale, k, v, layer, start_pos
+):
+    """Quantize new K/V and write payload + scales into the stacked cache."""
+    qk, sk = quantize_kv(jnp.swapaxes(k, 1, 2))
+    qv, sv = quantize_kv(jnp.swapaxes(v, 1, 2))
+    return (
+        _write_rows_stacked(cache_k, qk, layer, start_pos),
+        _write_rows_stacked(cache_v, qv, layer, start_pos),
+        _write_rows_stacked(k_scale, sk, layer, start_pos),
+        _write_rows_stacked(v_scale, sv, layer, start_pos),
+    )
+
+
 def roll_kv_cache(cache, num_sink: int, shift: int):
     """Attention-sinks eviction: keep slots [0, num_sink), roll the rest left
     by `shift`, clearing the tail for reuse.

@@ -1,0 +1,298 @@
+"""Decode fast path: fori_loop over layers with STACKED weights and cache.
+
+`forward`'s `lax.scan` formulation is right for prefill (MXU-bound, XLA
+fuses the per-layer weight slices into the dots) but wrong for decode once
+Pallas kernels enter: a Pallas operand sliced out of a scan xs is
+materialized — a full extra read+write of every weight and KV layer per
+step (measured on the 8B W4A8 trace: matmul fusions at ~2x the HBM read
+floor plus ~500 us/step of cache-slice copies; benchmarks/profile_decode.py).
+
+This path instead loops a layer index over closure-captured stacked arrays:
+
+  * quantized matvecs → `ops.a8_matvec_pallas.quant_matvec_stacked`
+    (scalar-prefetched layer index → the kernel streams the right HBM rows
+    directly; transposed row-contiguous tiles; s8×s8→s32 on the MXU),
+  * attention → `decode_attention_*_stacked` (same trick for the KV cache),
+  * the cache is a loop carry updated with one dynamic_update_slice per
+    layer (in place under donation),
+  * everything small (norms, biases, rope rows, residuals) stays XLA.
+
+Semantically identical to `forward` at S == 1 (tests/test_decode_path.py);
+`forward` routes here automatically. Dense weights, group-quantized weights
+and LoRA leaves take fused XLA formulations inside the same loop, so every
+non-paged, non-MoE model decodes through this path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from metalchat_tpu.cache import (
+    KVCache,
+    QuantizedKVCache,
+    dequantize_kv,
+    update_stacked_layer_cache,
+    update_stacked_layer_cache_quantized,
+)
+from metalchat_tpu.config import ModelConfig
+from metalchat_tpu.ops import use_pallas, xla as ops
+from metalchat_tpu.ops.a8_matvec_pallas import choose_block_out, quant_matvec_stacked
+from metalchat_tpu.ops.decode_attention_pallas import (
+    decode_attention_quantized_stacked,
+    decode_attention_stacked,
+)
+from metalchat_tpu.quant.quantize import (
+    LoraLinear,
+    QuantizedTensor,
+    _act_quantize,
+    linear,
+    lookup_embedding,
+    quant_matmul,
+)
+
+
+def _slice_layer(arr: jax.Array, l: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_index_in_dim(arr, l, 0, keepdims=False)
+
+
+def _slice_qt(qt: QuantizedTensor, l: jax.Array) -> QuantizedTensor:
+    return QuantizedTensor(
+        q=_slice_layer(qt.q, l), scales=_slice_layer(qt.scales, l),
+        bits=qt.bits, group_size=qt.group_size, transposed=qt.transposed,
+        act_bits=qt.act_bits,
+    )
+
+
+def _kernel_ok(qt: QuantizedTensor) -> bool:
+    """The Pallas matvec covers act8 per-channel transposed storage."""
+    k = qt.q.shape[-1]
+    return (
+        qt.act_bits == 8
+        and qt.transposed
+        and qt.group_size == qt.in_features
+        and choose_block_out(qt.out_features, k) is not None
+        and qt.in_features % 256 == 0  # lane-aligned contraction (int4 half too)
+    )
+
+
+def _linear_l(x: jax.Array, leaf: Any, l: jax.Array) -> jax.Array:
+    """x [B, in] through layer `l` of a stacked linear leaf.
+
+    Dispatch mirrors quant/quantize.py `linear` but never materializes a
+    weight slice for the Pallas path. Duplicate `_act_quantize` calls for
+    projections sharing an input are CSE'd by XLA.
+    """
+    if isinstance(leaf, LoraLinear):
+        y = _linear_l(x, leaf.base, l)
+        adapt = (x @ _slice_layer(leaf.a, l)) @ _slice_layer(leaf.b, l)
+        return y + adapt * jnp.asarray(leaf.scale, y.dtype)
+    if isinstance(leaf, QuantizedTensor):
+        if leaf.q.ndim == 3 and _kernel_ok(leaf) and use_pallas():
+            xq, sx = _act_quantize(x)
+            acc = quant_matvec_stacked(xq, leaf.q, l, bits=leaf.bits)
+            s_col = _slice_layer(leaf.scales, l)  # [out, 1] (transposed layout)
+            out = acc.astype(jnp.float32) * sx * s_col.reshape(1, -1)
+            return out.astype(x.dtype)
+        return quant_matmul(x, _slice_qt(leaf, l))
+    return x @ _slice_layer(leaf, l)
+
+
+def _lm_head(x: jax.Array, leaf: Any) -> jax.Array:
+    """Final projection (2-D, unstacked). Routes the act8 schemes through the
+    same Pallas kernel via a leading unit layer axis; int4 per-channel
+    lm_head otherwise pays the 2x-floor XLA 3-dot (651 vs 321 us/step
+    measured)."""
+    if (isinstance(leaf, QuantizedTensor) and leaf.q.ndim == 2
+            and _kernel_ok(leaf) and use_pallas()):
+        xq, sx = _act_quantize(x)
+        acc = quant_matvec_stacked(xq, leaf.q[None], 0, bits=leaf.bits)
+        out = acc.astype(jnp.float32) * sx * leaf.scales.reshape(1, -1)
+        return out.astype(x.dtype)
+    return linear(x, leaf)
+
+
+def supports_fast_decode(params: Dict[str, Any], cache, config: ModelConfig,
+                         tokens: jax.Array) -> bool:
+    from metalchat_tpu.cache import PagedKVCache
+
+    return (
+        tokens.shape[1] == 1
+        and not isinstance(cache, PagedKVCache)
+        and not config.num_experts
+    )
+
+
+def decode_step(
+    params: Dict[str, Any],
+    cache,
+    tokens: jax.Array,     # int32 [B, 1]
+    start_pos: jax.Array,  # scalar or [B]
+    config: ModelConfig,
+):
+    """One single-token step; same contract as `forward` at S == 1."""
+    b, s = tokens.shape
+    assert s == 1
+    start_pos = jnp.asarray(start_pos, jnp.int32)
+    offsets = start_pos if start_pos.ndim == 1 else jnp.broadcast_to(start_pos, (b,))
+    positions = offsets[:, None]
+
+    layers = params["layers"]
+    rope = params.get("rope", {})
+    quantized = isinstance(cache, QuantizedKVCache)
+    nh, nkv, hd = config.num_heads, config.num_kv_heads, config.head_dim
+    eps, mu = config.rms_norm_eps, config.norm_weight_offset
+    scale = config.query_scale if config.query_scale is not None else hd**-0.5
+    L = config.num_layers
+
+    x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
+    if config.embedding_scale is not None:
+        x = x * jnp.asarray(config.embedding_scale, x.dtype)
+    if config.position_embedding == "learned":
+        x = x + params["pos_emb"][positions].astype(x.dtype)
+    x = x[:, 0]  # [B, H] — the loop works 2-D; matvecs want flat rows
+
+    # Rope rows for this position, gathered once (selected per layer for
+    # Gemma's local/global alternation).
+    if config.position_embedding == "rope":
+        cos_g = rope["cos"][positions]  # [B, 1, hd/2]
+        sin_g = rope["sin"][positions]
+        cos_l = rope.get("cos_local")
+        cos_l = cos_l[positions] if cos_l is not None else None
+        sin_l = rope["sin_local"][positions] if cos_l is not None else None
+
+    is_global = jnp.asarray(
+        [config.layer_is_global(i) for i in range(L)])
+
+    if quantized:
+        leaves = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    else:
+        leaves = (cache.k, cache.v)
+    kv_len = leaves[0].shape[3]
+
+    def norm(h, name, l):
+        w = _slice_layer(layers[name], l)
+        if config.norm_type == "layernorm":
+            return ops.layer_norm(h, w, _slice_layer(layers[name + "_b"], l),
+                                  eps=eps)
+        return ops.rms_norm(h, w, eps=eps, offset=mu)
+
+    def biased(y, name, l):
+        if config.use_bias and name in layers:
+            return y + _slice_layer(layers[name], l)
+        return y
+
+    use_kernel_attn = use_pallas() and kv_len % min(256, kv_len) == 0 and \
+        kv_len >= 128
+
+    def body(l, carry):
+        x, leaves = carry
+        h = norm(x, "attn_norm", l)
+        if "wqkv" in layers:
+            qkv = biased(_linear_l(h, layers["wqkv"], l), "wqkv_b", l)
+            q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        else:
+            q = biased(_linear_l(h, layers["wq"], l), "wq_b", l)
+            k = biased(_linear_l(h, layers["wk"], l), "wk_b", l)
+            v = biased(_linear_l(h, layers["wv"], l), "wv_b", l)
+        q = q.reshape(b, 1, nh, hd)
+        k = k.reshape(b, 1, nkv, hd)
+        v = v.reshape(b, 1, nkv, hd)
+
+        if config.use_qk_norm:
+            q = ops.rms_norm(q, _slice_layer(layers["q_norm"], l), eps=eps, offset=mu)
+            k = ops.rms_norm(k, _slice_layer(layers["k_norm"], l), eps=eps, offset=mu)
+
+        if config.position_embedding == "rope":
+            if cos_l is not None:
+                g = is_global[l]
+                cos = jnp.where(g, cos_g, cos_l)
+                sin = jnp.where(g, sin_g, sin_l)
+            else:
+                cos, sin = cos_g, sin_g
+            q = ops.apply_rope_rows(q, cos, sin)
+            k = ops.apply_rope_rows(k, cos, sin)
+
+        window = None
+        if config.sliding_window is not None:
+            window = jnp.where(is_global[l], -1, config.sliding_window)
+
+        if quantized:
+            ck, cv, sk, sv = leaves
+            new_leaves = update_stacked_layer_cache_quantized(
+                ck, cv, sk, sv, k, v, l, start_pos)
+        else:
+            new_leaves = update_stacked_layer_cache(*leaves, k, v, l, start_pos)
+
+        lengths = offsets + 1
+        if use_kernel_attn:
+            block_t = min(256, kv_len)
+            if quantized:
+                attn = decode_attention_quantized_stacked(
+                    q[:, 0], *new_leaves, l, lengths, scale=scale,
+                    window=window, block_t=block_t)
+            else:
+                attn = decode_attention_stacked(
+                    q[:, 0], *new_leaves, l, lengths, scale=scale,
+                    window=window, block_t=block_t)
+        else:
+            if quantized:
+                ck, cv, sk, sv = new_leaves
+                keys = dequantize_kv(_slice_layer(ck, l), _slice_layer(sk, l), x.dtype)
+                values = dequantize_kv(_slice_layer(cv, l), _slice_layer(sv, l), x.dtype)
+            else:
+                keys = _slice_layer(new_leaves[0], l)
+                values = _slice_layer(new_leaves[1], l)
+            valid = lengths[:, None, None]
+            mask = ops.causal_mask(positions, kv_len, valid)
+            if config.sliding_window is not None:
+                sliding = ops.causal_mask(positions, kv_len, valid,
+                                          config.sliding_window)
+                mask = jnp.where(is_global[l], mask, sliding)
+            attn = ops.attention(q, keys, values, mask, scale=scale)[:, 0]
+
+        attn = biased(_linear_l(attn.reshape(b, nh * hd), layers["wo"], l),
+                      "wo_b", l)
+        if config.use_post_norms:
+            attn = ops.rms_norm(attn, _slice_layer(layers["post_attn_norm"], l),
+                                eps=eps, offset=mu)
+        x = x + attn
+
+        h = norm(x, "ffn_norm", l)
+        if "w13" in layers:
+            fused = biased(_linear_l(h, layers["w13"], l), "w13_b", l)
+            gate, up = jnp.split(fused, 2, axis=-1)
+            gate = (jax.nn.gelu(gate, approximate=True)
+                    if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
+            ffn = _linear_l(gate * up, layers["w2"], l)
+        elif config.ffn_type == "mlp":
+            gate = biased(_linear_l(h, layers["w1"], l), "w1_b", l)
+            gate = (jax.nn.gelu(gate, approximate=True)
+                    if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
+            ffn = biased(_linear_l(gate, layers["w2"], l), "w2_b", l)
+        else:
+            gate = _linear_l(h, layers["w1"], l)
+            gate = (jax.nn.gelu(gate, approximate=True)
+                    if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
+            ffn = _linear_l(gate * _linear_l(h, layers["w3"], l), layers["w2"], l)
+        if config.use_post_norms:
+            ffn = ops.rms_norm(ffn, _slice_layer(layers["post_ffn_norm"], l),
+                               eps=eps, offset=mu)
+        x = x + ffn
+        return x, new_leaves
+
+    x, leaves = jax.lax.fori_loop(0, L, body, (x, leaves))
+
+    if config.norm_type == "layernorm":
+        x = ops.layer_norm(x, params["final_norm"], params["final_norm_b"], eps=eps)
+    else:
+        x = ops.rms_norm(x, params["final_norm"], eps=eps, offset=mu)
+    logits = _lm_head(x, params["lm_head"]).astype(jnp.float32)[:, None]
+
+    if quantized:
+        new_cache = QuantizedKVCache(*leaves)
+    else:
+        new_cache = KVCache(*leaves)
+    return logits, new_cache

@@ -302,6 +302,7 @@ def forward(
     *,
     remat: bool = False,
     with_aux: bool = False,
+    fast_decode: bool = True,
 ):
     """One model step (prefill when S>1, decode when S==1).
 
@@ -318,6 +319,14 @@ def forward(
     start_pos = jnp.asarray(start_pos, jnp.int32)
     if start_pos.ndim == 1 and s > 1:
         raise ValueError("per-row start_pos requires S == 1 (decode step)")
+
+    from metalchat_tpu.models.decode import decode_step, supports_fast_decode
+
+    if fast_decode and not remat and supports_fast_decode(params, cache, config, tokens):
+        logits, new_cache = decode_step(params, cache, tokens, start_pos, config)
+        if with_aux:
+            return logits, new_cache, jnp.zeros((), jnp.float32)
+        return logits, new_cache
     offsets = start_pos if start_pos.ndim == 1 else jnp.broadcast_to(start_pos, (b,))
     positions = offsets[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 

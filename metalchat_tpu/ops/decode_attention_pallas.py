@@ -77,10 +77,13 @@ def _decode_kernel(
 
     @pl.when(in_range)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)        # [groups, hd]
-        k = k_ref[0, 0].astype(jnp.float32)        # [block_t, hd]
+        # Blocks are rank 4 ([1,1,g,hd]) or rank 5 when the cache is stacked
+        # over layers ([1,1,1,bt,hd]); reshape to the 2-D tile either way.
+        q = q_ref[...].astype(jnp.float32).reshape(q_ref.shape[-2:])
+        k = k_ref[...].astype(jnp.float32).reshape(k_ref.shape[-2:])
         if quantized:
-            k = k * k_scale_ref[0, 0].astype(jnp.float32)  # [block_t, 1] bcast
+            ks = k_scale_ref[...].astype(jnp.float32)
+            k = k * ks.reshape(k_scale_ref.shape[-2:])  # [block_t, 1] bcast
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                  # [groups, block_t]
@@ -100,9 +103,10 @@ def _decode_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        v = v_ref[0, 0].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32).reshape(v_ref.shape[-2:])
         if quantized:
-            v = v * v_scale_ref[0, 0].astype(jnp.float32)
+            vs = v_scale_ref[...].astype(jnp.float32)
+            v = v * vs.reshape(v_scale_ref.shape[-2:])
         o_curr = jnp.dot(p, v, preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + o_curr
 
@@ -110,7 +114,7 @@ def _decode_kernel(
     def _finish():
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        o_ref[...] = (acc_ref[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
@@ -202,7 +206,98 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
     return out.reshape(b, nh, hd)
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
+def decode_attention_stacked(
+    q, k, v, layer, lengths, *, scale, window=None, block_t: int = 256,
+    interpret: bool = False,
+):
+    """Decode attention reading layer `layer` of a STACKED cache directly.
+
+    k/v: [L, B, n_kv, T, hd]. The layer index rides scalar prefetch into the
+    BlockSpec index maps, so no per-layer slice of the cache is ever
+    materialized (feeding a `lax.scan`-sliced layer to a Pallas call costs a
+    full copy of the slice — measured ~160 us/step on the 8B decode trace).
+    """
+    return _decode_call_stacked(q, k, v, None, None, layer, lengths,
+                                scale=scale, window=window, block_t=block_t,
+                                interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
+def decode_attention_quantized_stacked(
+    q, k, v, k_scale, v_scale, layer, lengths, *, scale, window=None,
+    block_t: int = 256, interpret: bool = False,
+):
+    """int8-KV variant of `decode_attention_stacked`; scales [L, B, n_kv, T, 1]."""
+    return _decode_call_stacked(q, k, v, k_scale, v_scale, layer, lengths,
+                                scale=scale, window=window, block_t=block_t,
+                                interpret=interpret)
+
+
+def _decode_call_stacked(q, k, v, ks, vs, layer, lengths, *, scale, window,
+                         block_t, interpret):
+    b, nh, hd = q.shape
+    L, _, nkv, t_max, _ = k.shape
+    groups = nh // nkv
+    block_t = min(block_t, t_max)
+    assert t_max % block_t == 0, (t_max, block_t)
+    quantized = ks is not None
+
+    grid = (b, nkv, t_max // block_t)
+    q4 = q.reshape(b, nkv, groups, hd)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
+        pl.BlockSpec((1, 1, 1, block_t, hd),
+                     lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
+        pl.BlockSpec((1, 1, 1, block_t, hd),
+                     lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
+    ]
+    args = [q4, k, v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_t, 1),
+                         lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
+            pl.BlockSpec((1, 1, 1, block_t, 1),
+                         lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
+        ]
+        args += [ks, vs]
+
+    if window is None:
+        window_arr = jnp.full((1,), -1, jnp.int32)
+    else:
+        window_arr = jnp.asarray(window, jnp.int32).reshape(1)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _decode_kernel_dispatch, block_t=block_t, scale=scale, quantized=quantized
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, groups, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, groups, hd),
+                                   lambda bb, h, tt, *_: (bb, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((groups, LANES), jnp.float32),
+                pltpu.VMEM((groups, LANES), jnp.float32),
+                pltpu.VMEM((groups, hd), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), window_arr, layer_arr, *args)
+    return out.reshape(b, nh, hd)
+
+
 def _decode_kernel_dispatch(lengths_ref, window_ref, *refs, block_t, scale, quantized):
+    if len(refs) > (9 if quantized else 7):  # stacked call: drop the layer ref
+        refs = refs[1:]
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
         _decode_kernel(

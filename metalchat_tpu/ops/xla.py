@@ -112,6 +112,23 @@ def apply_rope(
     return rotated.astype(dtype)
 
 
+def apply_rope_rows(
+    x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> jax.Array:
+    """`apply_rope` with pre-gathered per-position rows.
+
+    x: [B, S, n_heads, head_dim]; cos/sin: [B, S, head_dim//2] (the decode
+    fast path gathers the rows once per step and reuses them across layers,
+    selecting local/global tables per layer without re-gathering).
+    """
+    dtype = x.dtype
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    rotated = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return rotated.astype(dtype)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,

@@ -207,8 +207,11 @@ def with_orientation(qt: QuantizedTensor, transposed: bool) -> QuantizedTensor:
 
 def auto_orient(qt: QuantizedTensor) -> QuantizedTensor:
     """Pick the storage orientation by shape: wide-output weights (out > in)
-    are stored transposed (see QuantizedTensor docstring for why)."""
-    return with_orientation(qt, qt.out_features > qt.in_features)
+    are stored transposed (see QuantizedTensor docstring for why). act8
+    tensors are ALWAYS transposed — the Pallas decode matvec streams
+    row-contiguous [out, in] tiles (ops/a8_matvec_pallas.py)."""
+    return with_orientation(
+        qt, qt.act_bits == 8 or qt.out_features > qt.in_features)
 
 
 def _act_quantize(x: jax.Array):
@@ -290,8 +293,9 @@ def requantize_per_channel(
     losslessly; bits=4 halves the bytes again but per-channel int4 loses
     accuracy vs group-32 (use 8 unless HBM-capacity-bound)."""
     w = dequantize(qt, jnp.float32)
-    return quantize(w, bits=bits, group_size=None, scales_dtype=scales_dtype,
-                    transposed=qt.transposed, act_bits=act_bits)
+    return auto_orient(quantize(
+        w, bits=bits, group_size=None, scales_dtype=scales_dtype,
+        transposed=qt.transposed, act_bits=act_bits))
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
@@ -487,7 +491,7 @@ def init_random_quantized_params(
         k1, k2 = jax.random.split(k)
         lead = (L,) if stack else ()
         g = in_f if group_size is None else group_size
-        transposed = out_f > in_f
+        transposed = act_bits == 8 or out_f > in_f
         if transposed:
             q = jax.random.randint(k1, lead + (out_f, in_f // pack), -127, 128, jnp.int8)
             s = (jax.random.uniform(k2, lead + (out_f, in_f // g)) * 0.01 + 0.001)

@@ -1,0 +1,117 @@
+"""Decode fast path (models/decode.py) vs the scan reference (forward).
+
+The fori_loop/stacked decode step must be semantically identical to the
+`lax.scan` formulation at S == 1 for every model family and weight scheme.
+On CPU the Pallas kernels are exercised separately in interpret mode
+(test_a8_matvec.py); here the structural restructure is validated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.config import Gemma3Config, GPT2Config, LlamaConfig
+from metalchat_tpu.models.transformer import forward, init_random_params
+from metalchat_tpu.quant.quantize import init_random_quantized_params, quantize_params
+
+
+def llama_cfg(**kw):
+    return LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=3, num_heads=4, num_kv_heads=2, head_dim=32,
+        max_seq_len=128, tie_word_embeddings=False, **kw)
+
+
+def run_both(params, cfg, cache_cls, batch=2, steps=3, dtype=jnp.float32):
+    """Prefill 4 tokens via the scan path, then decode `steps` tokens through
+    both paths from identical state; compare logits at every step."""
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, 4)), jnp.int32)
+    kw = {"dtype": dtype} if cache_cls is KVCache else {}
+    cache = cache_cls.create(cfg, batch, cfg.max_seq_len, **kw)
+    logits, cache = forward(params, cache, prompt, 0, cfg)
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+
+    cache_a, cache_b = cache, cache
+    pos = 4
+    for i in range(steps):
+        la, cache_a = forward(params, cache_a, tok, pos, cfg, fast_decode=True)
+        lb, cache_b = forward(params, cache_b, tok, pos, cfg, fast_decode=False)
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=f"step {i}")
+        tok = jnp.argmax(la[:, -1], -1).astype(jnp.int32)[:, None]
+        pos += 1
+    # Cache states must agree too (same tokens were written).
+    for xa, xb in zip(jax.tree.leaves(cache_a), jax.tree.leaves(cache_b)):
+        np.testing.assert_allclose(np.asarray(xa, np.float32),
+                                   np.asarray(xb, np.float32),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_dense_llama_matches_scan():
+    cfg = llama_cfg()
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    run_both(params, cfg, KVCache)
+
+
+def test_quantized_w4a8_matches_scan():
+    cfg = llama_cfg()
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    qp = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                         quantize_lm_head=True)
+    run_both(qp, cfg, QuantizedKVCache)
+
+
+def test_quantized_w4a8_fused_matches_scan():
+    from metalchat_tpu.models.fuse import fuse_projections
+
+    cfg = llama_cfg()
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    qp = fuse_projections(
+        quantize_params(params, bits=8, group_size=None, act_bits=8), cfg)
+    run_both(qp, cfg, QuantizedKVCache)
+
+
+def test_groupwise_int8_matches_scan():
+    cfg = llama_cfg()
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    qp = quantize_params(params, bits=8, group_size=32)
+    run_both(qp, cfg, QuantizedKVCache)
+
+
+def test_gemma3_matches_scan():
+    cfg = Gemma3Config(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
+        max_seq_len=128, sliding_window=16, sliding_window_pattern=2,
+        rope_local_theta=10000.0, tie_word_embeddings=False)
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    run_both(params, cfg, KVCache)
+
+
+def test_gpt2_matches_scan():
+    cfg = GPT2Config(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=32,
+        max_seq_len=128)
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    run_both(params, cfg, KVCache)
+
+
+def test_per_row_start_pos():
+    """Continuous-batching style decode: rows at different positions."""
+    cfg = llama_cfg()
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    rng = np.random.default_rng(1)
+    tok = jnp.asarray(rng.integers(1, 512, (3, 1)), jnp.int32)
+    cache = KVCache.create(cfg, 3, 128, dtype=jnp.float32)
+    pos = jnp.asarray([5, 9, 2], jnp.int32)
+    la, ca = forward(params, cache, tok, pos, cfg, fast_decode=True)
+    lb, cb = forward(params, cache, tok, pos, cfg, fast_decode=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4)
+    for xa, xb in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=2e-4, atol=2e-4)
