@@ -151,6 +151,21 @@ def decode_attention_quantized(
                         window=window, block_t=block_t, interpret=interpret)
 
 
+def _block_clamp(tt, lens, win, bb, block_t):
+    """Clamp a KV block index to the row's live [window_lo, length) range.
+
+    Out-of-range grid steps map to a boundary block: Mosaic skips the DMA
+    when the block index repeats, so the unfilled tail of the cache (and the
+    region below a sliding window) is never streamed — the kernel's
+    `in_range` predicate already skips the compute for those steps.
+    """
+    length = lens[bb]
+    upper = jnp.maximum(length - 1, 0) // block_t
+    low = jnp.where(win[0] < 0, 0,
+                    jnp.maximum(length - 1 - win[0], 0) // block_t)
+    return jnp.clip(tt, low, upper)
+
+
 def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret):
     b, nh, hd = q.shape
     _, nkv, t_max, _ = k.shape
@@ -163,16 +178,19 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
     # Heads are kv-major: head index = kv_head * groups + g.
     q4 = q.reshape(b, nkv, groups, hd)
 
+    def kv_map(bb, h, tt, lens, win):
+        return (bb, h, _block_clamp(tt, lens, win, bb, block_t), 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
-        pl.BlockSpec((1, 1, block_t, hd), lambda bb, h, tt, *_: (bb, h, tt, 0)),
-        pl.BlockSpec((1, 1, block_t, hd), lambda bb, h, tt, *_: (bb, h, tt, 0)),
+        pl.BlockSpec((1, 1, block_t, hd), kv_map),
+        pl.BlockSpec((1, 1, block_t, hd), kv_map),
     ]
     args = [q4, k, v]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, block_t, 1), lambda bb, h, tt, *_: (bb, h, tt, 0)),
-            pl.BlockSpec((1, 1, block_t, 1), lambda bb, h, tt, *_: (bb, h, tt, 0)),
+            pl.BlockSpec((1, 1, block_t, 1), kv_map),
+            pl.BlockSpec((1, 1, block_t, 1), kv_map),
         ]
         args += [ks, vs]
 
@@ -246,20 +264,19 @@ def _decode_call_stacked(q, k, v, ks, vs, layer, lengths, *, scale, window,
     grid = (b, nkv, t_max // block_t)
     q4 = q.reshape(b, nkv, groups, hd)
 
+    def kv_map(bb, h, tt, lens, win, lay):
+        return (lay[0], bb, h, _block_clamp(tt, lens, win, bb, block_t), 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
-        pl.BlockSpec((1, 1, 1, block_t, hd),
-                     lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
-        pl.BlockSpec((1, 1, 1, block_t, hd),
-                     lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
+        pl.BlockSpec((1, 1, 1, block_t, hd), kv_map),
+        pl.BlockSpec((1, 1, 1, block_t, hd), kv_map),
     ]
     args = [q4, k, v]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, block_t, 1),
-                         lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
-            pl.BlockSpec((1, 1, 1, block_t, 1),
-                         lambda bb, h, tt, lens, win, lay: (lay[0], bb, h, tt, 0)),
+            pl.BlockSpec((1, 1, 1, block_t, 1), kv_map),
+            pl.BlockSpec((1, 1, 1, block_t, 1), kv_map),
         ]
         args += [ks, vs]
 
