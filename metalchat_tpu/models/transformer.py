@@ -111,6 +111,7 @@ def _layer_step(
     start_pos: jax.Array,  # scalar, or [B] when S == 1
     quantized_cache: bool,
     page_table: Optional[jax.Array] = None,  # [B, max_pages] (paged cache)
+    allow_pallas: bool = True,
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
     b, s, hidden = x.shape
     nh, nkv, hd = config.num_heads, config.num_kv_heads, config.head_dim
@@ -162,13 +163,14 @@ def _layer_step(
         window = jnp.where(is_global, -1, config.sliding_window)
 
     block_t = _choose_block(kv_len)
-    if paged and use_pallas() and s == 1 and _choose_block(cache_slices[0].shape[2]) == cache_slices[0].shape[2]:
+    pallas_ok = use_pallas() and allow_pallas
+    if paged and pallas_ok and s == 1 and _choose_block(cache_slices[0].shape[2]) == cache_slices[0].shape[2]:
         kp, vp, ksc, vsc = new_slices
         attn = paged_decode_attention(
             q[:, 0], kp, vp, ksc, vsc, page_table, offsets + 1,
             scale=scale, window=window,
         )[:, None]
-    elif not paged and use_pallas() and s == 1 and block_t is not None:
+    elif not paged and pallas_ok and s == 1 and block_t is not None:
         # Fused decode attention; the quantized variant reads int8 KV directly.
         lengths = offsets + 1
         if quantized_cache:
@@ -193,7 +195,7 @@ def _layer_step(
         else:
             keys, values = ck, cv
         block_q = _choose_block(s)
-        if use_pallas() and s > 1 and block_t is not None and block_q is not None:
+        if pallas_ok and s > 1 and block_t is not None and block_q is not None:
             attn = flash_attention(
                 q, keys, values, start_pos, scale=scale, window=window,
                 block_q=block_q, block_k=block_t,
@@ -248,6 +250,7 @@ def run_layers(
     quantized_cache: bool,
     page_table: Optional[jax.Array] = None,
     remat: bool = False,
+    allow_pallas: bool = True,
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...], jax.Array]:
     """Scan `_layer_step` over a stack of layers (the shared layer loop of
     `forward` and the pipeline-parallel stage executor).
@@ -261,7 +264,7 @@ def run_layers(
             carry, layer, slices, layer_global,
             config=config, rope=rope, positions=positions, offsets=offsets,
             start_pos=start_pos, quantized_cache=quantized_cache,
-            page_table=page_table,
+            page_table=page_table, allow_pallas=allow_pallas,
         )
 
     if remat:
@@ -303,6 +306,7 @@ def forward(
     remat: bool = False,
     with_aux: bool = False,
     fast_decode: bool = True,
+    differentiable: bool = False,
 ):
     """One model step (prefill when S>1, decode when S==1).
 
@@ -314,6 +318,8 @@ def forward(
     the backward pass — the standard memory/FLOPs trade for training).
     with_aux=True additionally returns the mean MoE load-balancing loss
     (0.0 for dense models) for the training objective.
+    differentiable=True forces the XLA attention path (the Pallas kernels
+    define no VJP) — set by the training loss; inference never needs it.
     """
     b, s = tokens.shape
     start_pos = jnp.asarray(start_pos, jnp.int32)
@@ -322,7 +328,8 @@ def forward(
 
     from metalchat_tpu.models.decode import decode_step, supports_fast_decode
 
-    if fast_decode and not remat and supports_fast_decode(params, cache, config, tokens):
+    if (fast_decode and not remat and not differentiable
+            and supports_fast_decode(params, cache, config, tokens)):
         logits, new_cache = decode_step(params, cache, tokens, start_pos, config)
         if with_aux:
             return logits, new_cache, jnp.zeros((), jnp.float32)
@@ -353,7 +360,7 @@ def forward(
         x, params["layers"], cache_leaves, is_global,
         config=config, rope=params["rope"], positions=positions,
         offsets=offsets, start_pos=start_pos, quantized_cache=quantized,
-        page_table=page_table, remat=remat,
+        page_table=page_table, remat=remat, allow_pallas=not differentiable,
     )
 
     logits = final_logits(params, x, config)

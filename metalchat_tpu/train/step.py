@@ -82,7 +82,7 @@ def causal_lm_loss(
     inputs, labels = tokens[:, :-1], tokens[:, 1:]
     cache = KVCache.create(config, batch_size=b, max_seq_len=s - 1)
     logits, _, aux = forward(params, cache, inputs, 0, config, remat=remat,
-                             with_aux=True)
+                             with_aux=True, differentiable=True)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     mask = loss_mask.astype(jnp.float32)

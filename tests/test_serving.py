@@ -131,3 +131,88 @@ def test_sample_batched_semantics():
     # row 1: top-5 restriction must hold
     top5 = set(np.asarray(logits)[1].argsort()[-5:])
     assert out[1] in top5
+
+
+def test_decode_burst_matches_single_step(model):
+    """decode_burst>1 (multi-token lax.scan per dispatch) must produce the
+    exact greedy tokens of the one-step-per-dispatch engine."""
+    cfg, params = model
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [4, 4]]
+    single = ContinuousBatchingEngine(params, cfg, max_slots=3, max_seq_len=64)
+    reqs_a = [Request(prompt=p, max_new_tokens=9) for p in prompts]
+    out_a = single.run(reqs_a)
+    burst = ContinuousBatchingEngine(params, cfg, max_slots=3, max_seq_len=64,
+                                     decode_burst=8)
+    reqs_b = [Request(prompt=p, max_new_tokens=9) for p in prompts]
+    out_b = burst.run(reqs_b)
+    for ra, rb in zip(reqs_a, reqs_b):
+        assert out_a[ra.request_id].tokens == out_b[rb.request_id].tokens
+
+
+def test_decode_burst_eos_trims(model):
+    """A row hitting EOS mid-burst keeps only the tokens up to EOS."""
+    cfg, params = model
+    prompt = [5, 9, 23, 42]
+    expect = _reference_greedy(cfg, params, prompt, 8)
+    eos = expect[3]
+    first = expect.index(eos)
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64,
+                                      decode_burst=8)
+    out = engine.run([Request(prompt=prompt, max_new_tokens=8, eos_ids=(eos,))])
+    completion = list(out.values())[0]
+    assert completion.finish_reason == "eos"
+    assert completion.tokens == expect[: first + 1]
+
+
+def test_decode_burst_uneven_budgets(model):
+    """Rows with different max_new_tokens finish at their own budgets."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=3, max_seq_len=64,
+                                      decode_burst=8)
+    reqs = [Request(prompt=[1, 2, 3], max_new_tokens=n) for n in (3, 11, 7)]
+    out = engine.run(reqs)
+    for req, n in zip(reqs, (3, 11, 7)):
+        assert out[req.request_id].tokens == _reference_greedy(
+            cfg, params, [1, 2, 3], n)
+
+
+def test_prefill_interleave_fairness(model):
+    """Decoding slots advance even while prompts keep arriving: under strict
+    prefill priority (r1 behavior) the first request would see its decode
+    frozen for the entire chunked prefill of every later arrival."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=4, max_seq_len=64,
+                                      prefill_chunk=2, prefill_interleave=2)
+    first = Request(prompt=[5, 9], max_new_tokens=6)
+    engine.submit(first)
+    engine.step()                      # admit
+    while not engine._slots[list(engine._slots)[0]].decoding:
+        engine.step()                  # prefill request 1 to decode state
+    # A long prompt arrives; its chunked prefill takes many steps.
+    engine.submit(Request(prompt=list(range(1, 33)), max_new_tokens=2))
+    decoded_during_prefill = 0
+    for _ in range(12):
+        emitted = engine.step()
+        decoded_during_prefill += sum(
+            1 for rid, _ in emitted if rid == first.request_id)
+    assert decoded_during_prefill >= 2  # decode was not starved
+    while engine.has_work:
+        engine.step()
+    # Fairness must not change the tokens themselves.
+    assert engine.completion(first.request_id).tokens == _reference_greedy(
+        cfg, params, [5, 9], 6)
+
+
+def test_midprefill_decode_preserves_prompt_kv(model):
+    """Interleaved decode steps must not corrupt a mid-prefill slot's cache
+    (inactive rows write their garbage KV at a position the slot's own next
+    chunk re-writes)."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64,
+                                      prefill_chunk=2, prefill_interleave=1)
+    a = Request(prompt=[5, 9, 23], max_new_tokens=10)
+    long_prompt = list(range(1, 17))
+    b = Request(prompt=long_prompt, max_new_tokens=3)
+    out = engine.run([a, b])
+    assert out[a.request_id].tokens == _reference_greedy(cfg, params, [5, 9, 23], 10)
+    assert out[b.request_id].tokens == _reference_greedy(cfg, params, long_prompt, 3)

@@ -76,3 +76,38 @@ def test_unsatisfiable_prompt_rejected(model):
     out = engine.run([req])
     assert out[req.request_id].finish_reason == "kv_oom"
     assert "pages" in out[req.request_id].error
+
+
+def test_paged_decode_burst_matches_single(model):
+    cfg, params = model
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4, 4, 4]]
+    single = ContinuousBatchingEngine(params, cfg, max_slots=3, max_seq_len=64,
+                                      cache_mode="paged", page_size=8)
+    reqs_a = [Request(prompt=p, max_new_tokens=10) for p in prompts]
+    out_a = single.run(reqs_a)
+    burst = ContinuousBatchingEngine(params, cfg, max_slots=3, max_seq_len=64,
+                                     cache_mode="paged", page_size=8,
+                                     decode_burst=8)
+    reqs_b = [Request(prompt=p, max_new_tokens=10) for p in prompts]
+    out_b = burst.run(reqs_b)
+    for ra, rb in zip(reqs_a, reqs_b):
+        assert out_a[ra.request_id].tokens == out_b[rb.request_id].tokens
+
+
+def test_paged_burst_grows_pages(model):
+    """Bursting across page boundaries pre-allocates the pages it needs
+    (page_size 4 < burst 8)."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64,
+                                      cache_mode="paged", page_size=4,
+                                      decode_burst=8)
+    reqs = [Request(prompt=[1, 2, 3], max_new_tokens=17),
+            Request(prompt=[7, 7, 7, 7, 7], max_new_tokens=13)]
+    out = engine.run(reqs)
+    single = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64,
+                                      cache_mode="paged", page_size=4)
+    reqs_s = [Request(prompt=[1, 2, 3], max_new_tokens=17),
+              Request(prompt=[7, 7, 7, 7, 7], max_new_tokens=13)]
+    out_s = single.run(reqs_s)
+    for ra, rb in zip(reqs, reqs_s):
+        assert out[ra.request_id].tokens == out_s[rb.request_id].tokens
