@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metalchat_tpu.cache import KVCache
+from metalchat_tpu.cache import KVCache, QuantizedKVCache
 from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.models.transformer import Params, forward
 
@@ -24,10 +24,14 @@ def token_nll(
     config: ModelConfig,
     tokens: jax.Array,          # int32 [B, S]
     mask: Optional[jax.Array] = None,  # bool [B, S-1] — positions to score
+    quantized_kv: bool = False,  # score through the int8 KV cache path
 ) -> jax.Array:
     """Mean negative log-likelihood of tokens[:, 1:] under teacher forcing."""
     b, s = tokens.shape
-    cache = KVCache.create(config, b, s, dtype=params["final_norm"].dtype)
+    if quantized_kv:
+        cache = QuantizedKVCache.create(config, b, s)
+    else:
+        cache = KVCache.create(config, b, s, dtype=params["final_norm"].dtype)
     logits, _ = forward(params, cache, tokens, 0, config)
     logprobs = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     targets = tokens[:, 1:]

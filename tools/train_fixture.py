@@ -195,6 +195,13 @@ def save_fixture(params, cfg, eval_data, losses, args) -> None:
         }, fh, indent=1)
     np.save(os.path.join(args.out, "eval_tokens.npy"),
             eval_data.astype(np.uint16))
+    # Byte-level tiktoken tokenizer (ranks 0..255 = the raw bytes) so the
+    # full CLI path (pull → tokenize → decode) runs against the fixture.
+    import base64
+
+    lines = [f"{base64.b64encode(bytes([b])).decode()} {b}" for b in range(256)]
+    with open(os.path.join(args.out, "tokenizer.model"), "w") as fh:
+        fh.write("\n".join(lines))
     with open(os.path.join(args.out, "train_meta.json"), "w") as fh:
         json.dump({
             "steps": args.steps, "batch": args.batch, "seq": args.seq,
