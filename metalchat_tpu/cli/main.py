@@ -158,11 +158,43 @@ def _cmd_serve(args) -> int:
     stop_kinds = TokenKind.END_TEXT | TokenKind.END_TURN | TokenKind.END_MESSAGE
     eos_ids = tuple(specials.ids_with_kind(stop_kinds)) if specials else ()
 
+    params = session.params
+    forward_fn = None
+    ext_cache = None
+    cp_mesh = None
+    max_seq = args.max_seq_len or config.max_seq_len
+    if args.pp > 1:
+        # Pipeline-parallel serving: layer stages sharded over a pp mesh.
+        import jax
+
+        from metalchat_tpu.cache import KVCache, QuantizedKVCache
+        from metalchat_tpu.parallel import (
+            make_pipeline_forward, make_pp_mesh, shard_cache_pp,
+            shard_params_pp,
+        )
+
+        pmesh = make_pp_mesh(pp=args.pp, devices=jax.devices()[: args.pp])
+        params = shard_params_pp(params, pmesh)
+        forward_fn = make_pipeline_forward(config, pmesh, n_microbatches=1)
+        cls = QuantizedKVCache if args.quantized_kv else KVCache
+        kw = {} if args.quantized_kv else {"dtype": params["final_norm"].dtype}
+        ext_cache = shard_cache_pp(
+            cls.create(config, args.slots, max_seq, **kw), pmesh)
+    if args.cp > 1:
+        # Context-parallel prefill: long prompts through ring attention.
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        cp_mesh = Mesh(_np.asarray(jax.devices()[: args.cp]), ("sp",))
+
     engine = ContinuousBatchingEngine(
-        session.params, config,
-        max_slots=args.slots, max_seq_len=args.max_seq_len or config.max_seq_len,
+        params, config,
+        max_slots=args.slots, max_seq_len=max_seq,
         cache_mode="paged" if args.paged else "dense",
         quantized_kv=args.quantized_kv,
+        forward_fn=forward_fn, cache=ext_cache,
+        context_parallel_mesh=cp_mesh,
     )
     if args.http is not None:
         import time as _time
@@ -330,6 +362,12 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--slots", type=int, default=8)
     serve.add_argument("--paged", action="store_true")
     serve.add_argument("--quantized-kv", action="store_true")
+    serve.add_argument("--pp", type=int, default=0, metavar="N",
+                       help="pipeline-parallel serving over N devices "
+                            "(layer stages sharded on a pp mesh)")
+    serve.add_argument("--cp", type=int, default=0, metavar="N",
+                       help="context-parallel prefill over N devices "
+                            "(long prompts through ring attention)")
     serve.set_defaults(fn=_cmd_serve)
 
     model = sub.add_parser("model", help="manage models")

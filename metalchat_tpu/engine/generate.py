@@ -47,12 +47,21 @@ def _eos_hit(tokens: jax.Array, eos_ids: Tuple[int, ...]) -> jax.Array:
     return jnp.any(tokens[:, None] == eos[None, :], axis=-1)
 
 
-def make_prefill(config: ModelConfig, sampler: SamplerConfig, eos_ids: Tuple[int, ...] = ()):
-    """Returns jitted prefill(params, cache, tokens, start_pos, key) → DecodeState."""
+def _default_forward(config: ModelConfig):
+    return lambda p, c, t, s: forward(p, c, t, s, config)
+
+
+def make_prefill(config: ModelConfig, sampler: SamplerConfig, eos_ids: Tuple[int, ...] = (),
+                 forward_fn=None):
+    """Returns jitted prefill(params, cache, tokens, start_pos, key) → DecodeState.
+
+    `forward_fn(params, cache, tokens, start_pos) -> (logits, cache)` swaps
+    the model step — e.g. `parallel.make_pipeline_forward` for pp serving."""
+    fwd = forward_fn or _default_forward(config)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill(params: Params, cache: Cache, tokens: jax.Array, start_pos, key) -> DecodeState:
-        logits, cache = forward(params, cache, tokens, start_pos, config)
+        logits, cache = fwd(params, cache, tokens, start_pos)
         key, sub = jax.random.split(key)
         next_tokens = sample(logits[:, -1], sub, sampler)
         return DecodeState(
@@ -66,14 +75,16 @@ def make_prefill(config: ModelConfig, sampler: SamplerConfig, eos_ids: Tuple[int
     return prefill
 
 
-def make_decode_step(config: ModelConfig, sampler: SamplerConfig, eos_ids: Tuple[int, ...] = ()):
+def make_decode_step(config: ModelConfig, sampler: SamplerConfig, eos_ids: Tuple[int, ...] = (),
+                     forward_fn=None):
     """Returns jitted step(params, state) → (state, emitted_tokens [B])."""
+    fwd = forward_fn or _default_forward(config)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def step(params: Params, state: DecodeState) -> Tuple[DecodeState, jax.Array]:
         emitted = state.last_tokens
-        logits, cache = forward(
-            params, state.cache, state.last_tokens[:, None], state.pos, config
+        logits, cache = fwd(
+            params, state.cache, state.last_tokens[:, None], state.pos
         )
         key, sub = jax.random.split(state.key)
         next_tokens = sample(logits[:, -1], sub, sampler)
@@ -100,24 +111,32 @@ def generate(
     cache: Optional[Cache] = None,
     quantized_kv: bool = False,
     max_seq_len: Optional[int] = None,
+    forward_fn=None,
+    context_parallel_mesh=None,
+    context_parallel_axis: str = "sp",
 ) -> jax.Array:
     """Closed-loop generation: prompt [B, S] → generated ids [B, max_new_tokens].
 
     The decode loop is a `lax.scan` inside one jit — a single dispatch and a
     single host sync for the entire generation.
+
+    forward_fn swaps the model step (e.g. `parallel.make_pipeline_forward`
+    for pipeline-parallel serving). context_parallel_mesh routes the prompt
+    prefill through sequence-sharded ring attention
+    (`parallel.context_parallel_prefill`) — long-prompt TTFT spreads over
+    the mesh axis; decode then proceeds normally.
     """
     b, s = prompt.shape
     if cache is None:
         limit = max_seq_len or min(config.max_seq_len, s + max_new_tokens)
         cls = QuantizedKVCache if quantized_kv else KVCache
         cache = cls.create(config, b, limit)
+    fwd = forward_fn or _default_forward(config)
 
-    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames="steps")
-    def run(params, cache, prompt, key, steps: int):
-        logits, cache = forward(params, cache, prompt, 0, config)
+    def first_state(logits, cache, key):
         key, sub = jax.random.split(key)
-        first = sample(logits[:, -1], sub, sampler)
-        state = DecodeState(
+        first = sample(logits, sub, sampler)
+        return DecodeState(
             cache=cache,
             last_tokens=first,
             pos=jnp.asarray(s, jnp.int32),
@@ -125,18 +144,37 @@ def generate(
             done=_eos_hit(first, eos_ids),
         )
 
-        def body(state, _):
-            emitted = state.last_tokens
-            logits, cache = forward(
-                params, state.cache, state.last_tokens[:, None], state.pos, config
-            )
-            key, sub = jax.random.split(state.key)
-            nxt = sample(logits[:, -1], sub, sampler)
-            done = state.done | _eos_hit(nxt, eos_ids)
-            nxt = jnp.where(state.done, state.last_tokens, nxt)
-            return DecodeState(cache, nxt, state.pos + 1, key, done), emitted
+    def decode_body(state, _):
+        emitted = state.last_tokens
+        logits, cache = fwd(
+            params, state.cache, state.last_tokens[:, None], state.pos
+        )
+        key, sub = jax.random.split(state.key)
+        nxt = sample(logits[:, -1], sub, sampler)
+        done = state.done | _eos_hit(nxt, eos_ids)
+        nxt = jnp.where(state.done, state.last_tokens, nxt)
+        return DecodeState(cache, nxt, state.pos + 1, key, done), emitted
 
-        state, tokens = jax.lax.scan(body, state, length=steps)
+    if context_parallel_mesh is not None:
+        from metalchat_tpu.parallel.context import context_parallel_prefill
+
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames="steps")
+        def run_cp(params, cache, prompt, key, steps: int):
+            logits, cache = context_parallel_prefill(
+                params, cache, prompt, config,
+                context_parallel_mesh, context_parallel_axis)
+            state = first_state(logits, cache, key)
+            state, tokens = jax.lax.scan(decode_body, state, length=steps)
+            return tokens.T
+
+        return run_cp(params, cache, prompt, jax.random.PRNGKey(seed),
+                      steps=max_new_tokens)
+
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames="steps")
+    def run(params, cache, prompt, key, steps: int):
+        logits, cache = fwd(params, cache, prompt, 0)
+        state = first_state(logits[:, -1], cache, key)
+        state, tokens = jax.lax.scan(decode_body, state, length=steps)
         return tokens.T  # [steps, B] → [B, steps]
 
     return run(params, cache, prompt, jax.random.PRNGKey(seed), steps=max_new_tokens)
@@ -155,6 +193,7 @@ def generate_stream(
     start_pos: int = 0,
     max_seq_len: Optional[int] = None,
     sink_tokens: Optional[int] = None,
+    forward_fn=None,
 ) -> Iterator[int]:
     """Stream generated token ids one at a time (batch of one).
 
@@ -174,8 +213,8 @@ def generate_stream(
         limit = max_seq_len or min(config.max_seq_len, len(prompt) + max_new_tokens + start_pos)
         cache = KVCache.create(config, 1, limit)
     cache_len = cache.max_seq_len
-    prefill = make_prefill(config, sampler, eos_ids)
-    step = make_decode_step(config, sampler, eos_ids)
+    prefill = make_prefill(config, sampler, eos_ids, forward_fn=forward_fn)
+    step = make_decode_step(config, sampler, eos_ids, forward_fn=forward_fn)
     state = prefill(params, cache, tokens, start_pos, jax.random.PRNGKey(seed))
     for _ in range(max_new_tokens):
         token = int(state.last_tokens[0])

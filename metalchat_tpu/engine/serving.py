@@ -103,6 +103,11 @@ class ContinuousBatchingEngine:
         seed: int = 0,
         decode_burst: int = 1,
         prefill_interleave: int = 4,
+        forward_fn=None,
+        cache: Optional[Cache] = None,
+        context_parallel_mesh=None,
+        context_parallel_axis: str = "sp",
+        context_parallel_threshold: int = 512,
     ):
         self.params = params
         self.config = config
@@ -122,7 +127,25 @@ class ContinuousBatchingEngine:
         self.prefill_interleave = max(1, prefill_interleave)
         self._prefill_streak = 0
         self.paged = cache_mode == "paged"
-        if self.paged:
+        # Model-step injection: forward_fn(params, cache, tokens, start_pos)
+        # -> (logits, cache). E.g. `parallel.make_pipeline_forward` turns the
+        # engine into a pipeline-parallel server (pass the pp-sharded params
+        # and a `shard_cache_pp`-placed cache via `cache=`).
+        self._forward = forward_fn or (
+            lambda p, c, t, s: forward(p, c, t, s, config))
+        # Context-parallel prefill: prompts >= threshold tokens are prefilled
+        # in ONE sequence-sharded ring-attention pass over the mesh instead
+        # of chunked single-device passes (dense cache modes only).
+        self.cp_mesh = context_parallel_mesh
+        self.cp_axis = context_parallel_axis
+        self.cp_threshold = context_parallel_threshold
+        if self.cp_mesh is not None and cache_mode == "paged":
+            raise ValueError("context-parallel prefill needs a dense cache mode")
+        if cache is not None and self.paged:
+            raise ValueError("external cache is for dense modes (pp serving)")
+        if cache is not None:
+            self.cache = cache
+        elif self.paged:
             self.page_size = page_size
             mps = -(-self.max_seq_len // page_size)
             self.num_pages = num_pages or (max_slots * mps)
@@ -150,17 +173,33 @@ class ContinuousBatchingEngine:
         self.meter.start()
 
         cfg = config
+        fwd = self._forward
 
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
         def prefill_step(params, cache, tokens, start_pos, slot: int):
             """Run one prompt chunk for a single slot (B=1 sub-cache view)."""
             sub = jax.tree.map(lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, 1), cache)
-            logits, sub = forward(params, sub, tokens, start_pos, cfg)
+            logits, sub = fwd(params, sub, tokens, start_pos)
             cache = jax.tree.map(
                 lambda full, part: jax.lax.dynamic_update_slice_in_dim(full, part, slot, 1),
                 cache, sub,
             )
             return logits[:, -1], cache
+
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
+        def cp_prefill_step(params, cache, tokens, slot: int):
+            """Whole-prompt prefill for one slot through sequence-sharded
+            ring attention (parallel/context.py)."""
+            from metalchat_tpu.parallel.context import context_parallel_prefill
+
+            sub = jax.tree.map(lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, 1), cache)
+            logits, sub = context_parallel_prefill(
+                params, sub, tokens, cfg, self.cp_mesh, self.cp_axis)
+            cache = jax.tree.map(
+                lambda full, part: jax.lax.dynamic_update_slice_in_dim(full, part, slot, 1),
+                cache, sub,
+            )
+            return logits, cache
 
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
         def paged_prefill_step(params, cache, tokens, start_pos, slot: int):
@@ -171,7 +210,7 @@ class ContinuousBatchingEngine:
                 page_table=row,
                 lengths=jax.lax.dynamic_slice_in_dim(cache.lengths, slot, 1, 0),
             )
-            logits, sub = forward(params, sub, tokens, start_pos, cfg)
+            logits, sub = fwd(params, sub, tokens, start_pos)
             cache = cache.replace(
                 k_pages=sub.k_pages, v_pages=sub.v_pages,
                 k_scale=sub.k_scale, v_scale=sub.v_scale,
@@ -180,7 +219,7 @@ class ContinuousBatchingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def decode_step(params, cache, tokens, positions, key, temps, ks, ps):
-            logits, cache = forward(params, cache, tokens[:, None], positions, cfg)
+            logits, cache = fwd(params, cache, tokens[:, None], positions)
             next_tokens = sample_batched(logits[:, 0], key, temps, ks, ps)
             return next_tokens, cache
 
@@ -196,8 +235,7 @@ class ContinuousBatchingEngine:
             def body(carry, _):
                 tokens, positions, cache, key = carry
                 key, sub = jax.random.split(key)
-                logits, cache = forward(params, cache, tokens[:, None],
-                                        positions, cfg)
+                logits, cache = fwd(params, cache, tokens[:, None], positions)
                 tokens = sample_batched(logits[:, 0], sub, temps, ks, ps)
                 return (tokens, positions + advance, cache, key), tokens
 
@@ -206,6 +244,7 @@ class ContinuousBatchingEngine:
             return toks, cache
 
         self._prefill_step = paged_prefill_step if self.paged else prefill_step
+        self._cp_prefill_step = cp_prefill_step
         self._decode_step = decode_step
         self._decode_burst_step = decode_burst_step
 
@@ -325,12 +364,20 @@ class ContinuousBatchingEngine:
 
     def _prefill_one(self, slot_id: int, slot: _Slot) -> List[Tuple[int, int]]:
         prompt = list(slot.request.prompt)
-        chunk = prompt[slot.prefill_cursor : slot.prefill_cursor + self.prefill_chunk]
-        tokens = jnp.asarray(chunk, jnp.int32)[None, :]
         self._flush_page_table()
-        logits, self.cache = self._prefill_step(
-            self.params, self.cache, tokens, slot.pos, slot=slot_id
-        )
+        if (self.cp_mesh is not None and slot.prefill_cursor == 0
+                and len(prompt) >= self.cp_threshold):
+            # Whole prompt in one sequence-sharded ring-attention pass.
+            tokens = jnp.asarray(prompt, jnp.int32)[None, :]
+            logits, self.cache = self._cp_prefill_step(
+                self.params, self.cache, tokens, slot=slot_id)
+            chunk = prompt
+        else:
+            chunk = prompt[slot.prefill_cursor : slot.prefill_cursor + self.prefill_chunk]
+            tokens = jnp.asarray(chunk, jnp.int32)[None, :]
+            logits, self.cache = self._prefill_step(
+                self.params, self.cache, tokens, slot.pos, slot=slot_id
+            )
         slot.pos += len(chunk)
         slot.prefill_cursor += len(chunk)
         if slot.prefill_cursor >= len(prompt):

@@ -19,3 +19,6 @@ from metalchat_tpu.parallel.pipeline import (  # noqa: F401
     shard_cache_pp,
     shard_params_pp,
 )
+from metalchat_tpu.parallel.context import (  # noqa: F401
+    context_parallel_prefill,
+)

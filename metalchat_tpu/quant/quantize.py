@@ -128,12 +128,17 @@ def quantize(
     scales_dtype=jnp.float32,
     transposed: bool = False,
     act_bits: Optional[int] = None,
+    clip_search: bool = False,
 ) -> QuantizedTensor:
     """Symmetric groupwise quantization of an [in, out] weight (groups along
     in-features; `transposed` selects the storage orientation).
 
     group_size=None → per-output-channel scales (one group spanning all of
-    in-features) — required for the `act_bits=8` MXU execution scheme."""
+    in-features) — required for the `act_bits=8` MXU execution scheme.
+    clip_search=True replaces the absmax scale with the per-group scale that
+    minimizes reconstruction MSE over a clip-ratio grid (recovers a chunk of
+    the per-channel-int4 loss: a few outliers otherwise set the whole
+    channel's step size)."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     if act_bits not in (None, 8):
@@ -158,6 +163,18 @@ def quantize(
     qmax = 127.0 if bits == 8 else 7.0
     absmax = np.abs(g).max(axis=-2, keepdims=True)
     scales = absmax / qmax
+    if clip_search:
+        best_err = np.full(scales.shape, np.inf, np.float32)
+        best = scales.copy()
+        for ratio in np.linspace(1.0, 0.5, 11):
+            s = scales * np.float32(ratio)
+            inv = np.where(s == 0.0, 0.0, 1.0 / s)
+            q = np.clip(np.round(g * inv), -qmax, qmax)
+            err = ((q * s - g) ** 2).sum(axis=-2, keepdims=True)
+            take = err < best_err
+            best = np.where(take, s, best)
+            best_err = np.minimum(err, best_err)
+        scales = best
     inv = np.where(scales == 0.0, 0.0, 1.0 / scales)
     q = np.clip(np.round(g * inv), -qmax, qmax).astype(np.int8)
     q = q.reshape(w.shape)
@@ -547,6 +564,7 @@ def quantize_params(
     quantize_embed: bool = False,
     scales_dtype=jnp.float32,
     act_bits: Optional[int] = None,
+    clip_search: bool = False,
 ) -> Dict[str, Any]:
     """Quantize selected leaves of a parameter tree.
 
@@ -562,11 +580,13 @@ def quantize_params(
             out["layers"][name] = auto_orient(quantize(
                 out["layers"][name], bits=bits, group_size=group_size,
                 scales_dtype=scales_dtype, act_bits=act_bits,
+                clip_search=clip_search,
             ))
     if quantize_lm_head:
         out["lm_head"] = auto_orient(quantize(
             params["lm_head"], bits=bits, group_size=group_size,
-            scales_dtype=scales_dtype, act_bits=act_bits))
+            scales_dtype=scales_dtype, act_bits=act_bits,
+            clip_search=clip_search))
     if quantize_embed:
         # Row-quantized: treat [V, H] as out-major by quantizing its transpose
         # groupwise along H, then storing row-major again.

@@ -56,14 +56,37 @@ def main() -> None:
         raise SystemExit(f"eval corpus too small: {len(ev)} < {n}")
     data = ev[:n].reshape(args.batches, args.batch, args.seq)
 
+    from metalchat_tpu.quant.awq import awq_fold, calibration_stats
+
+    calib = jnp.asarray(ev[n : n + 8 * args.seq].reshape(8, args.seq))
+    # AWQ alpha grid-search scored on the calibration batch itself (the AWQ
+    # paper's protocol; alpha=0 degenerates to clip-only).
+    stats = calibration_stats(params, cfg, calib)
+    nll_calib = jax.jit(functools.partial(token_nll, config=cfg))
+    best_alpha, best_nll, w4a8_awq = 0.0, np.inf, None
+    for alpha in (0.1, 0.2, 0.35, 0.5):
+        cand = quantize_params(awq_fold(params, cfg, stats, alpha=alpha),
+                               bits=4, group_size=None, act_bits=8,
+                               clip_search=True)
+        nll = float(nll_calib(cand, tokens=calib))
+        print(f"  awq alpha={alpha}: calib nll {nll:.5f}", flush=True)
+        if nll < best_nll:
+            best_alpha, best_nll, w4a8_awq = alpha, nll, cand
+    print(f"awq alpha -> {best_alpha}")
     schemes = {
         "bf16": (params, False),
         "int8_g32": (quantize_params(params, bits=8, group_size=32), False),
         "int4_g32": (quantize_params(params, bits=4, group_size=32), False),
+        "int4_g32_clip": (
+            quantize_params(params, bits=4, group_size=32, clip_search=True),
+            False),
         "w8a8": (quantize_params(params, bits=8, group_size=None, act_bits=8), False),
         "w4a8": (quantize_params(params, bits=4, group_size=None, act_bits=8), False),
-        "w4a8_int8kv": (
-            quantize_params(params, bits=4, group_size=None, act_bits=8), True),
+        "w4a8_clip": (
+            quantize_params(params, bits=4, group_size=None, act_bits=8,
+                            clip_search=True), False),
+        "w4a8_awq": (w4a8_awq, False),
+        "w4a8_awq_int8kv": (w4a8_awq, True),
     }
 
     nll_fn = jax.jit(
@@ -86,13 +109,16 @@ def main() -> None:
     deltas = {k: 100.0 * (v - ref) / ref for k, v in results.items()}
     tokens_scored = args.batches * args.batch * (args.seq - 1)
 
+    # Headline = best int4 + int8-activation scheme (what bench.py runs).
+    headline = min(("w4a8", "w4a8_clip", "w4a8_awq"), key=lambda k: results[k])
     quality = {
         "fixture": args.fixture,
         "eval_tokens": tokens_scored,
         "ppl": {k: round(v, 5) for k, v in results.items()},
         "ppl_delta_pct": {k: round(v, 4) for k, v in deltas.items()},
-        "headline_scheme": "w4a8",
-        "headline_ppl_delta_pct": round(deltas["w4a8"], 4),
+        "headline_scheme": headline,
+        "headline_ppl_delta_pct": round(deltas[headline], 4),
+        "awq_alpha": best_alpha,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "QUALITY.json"), "w") as fh:
@@ -110,15 +136,17 @@ def main() -> None:
         "|---|---|---|",
     ]
     for k in schemes:
-        mark = " ← headline (bench.py)" if k == "w4a8" else ""
+        mark = " ← headline (bench.py)" if k == headline else ""
         lines.append(f"| {k} | {results[k]:.4f} | {deltas[k]:+.3f}%{mark} |")
     lines += [
         "",
         "Schemes: `int{8,4}_g32` = weight-only group-32 (exact dequant dot);",
         "`w{8,4}a8` = per-channel weights + dynamic per-token int8 activations",
-        "(s8×s8→s32 MXU path — the throughput headline); `w4a8_int8kv` adds the",
-        "int8 KV cache (per-(token,head) symmetric scales) on top of W4A8 —",
-        "the full headline serving configuration.",
+        "(s8×s8→s32 MXU path — the throughput headline); `_clip` = per-group",
+        "MSE-optimal clip search instead of absmax scales; `_awq` = AWQ-style",
+        "activation-aware exact scale folding (quant/awq.py) + clip;",
+        "`_int8kv` adds the int8 KV cache (per-(token,head) symmetric scales)",
+        "— the full headline serving configuration.",
         "",
         "Regenerate: `python tools/quality_gate.py` (runs on the default",
         "backend; numbers recorded from the real TPU chip).",
