@@ -150,6 +150,13 @@ def main() -> None:
         "",
         "Regenerate: `python tools/quality_gate.py` (runs on the default",
         "backend; numbers recorded from the real TPU chip).",
+        "",
+        "Scale context: a ~10M-param model amplifies quantization error",
+        "relative to production sizes — weight-rounding noise is a far larger",
+        "fraction of each layer's signal than at 1B/8B (the int8 rows, whose",
+        "noise is 16x smaller, already sit at ≈0Δ here). The int4 deltas",
+        "above are therefore upper bounds for the 8B headline config, not",
+        "estimates of it.",
     ]
     with open(os.path.join(root, "QUALITY.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
