@@ -10,8 +10,9 @@ the update happens in place on device. Variants:
     (head-major: the layout Pallas attention kernels and paged KV use).
   * `QuantizedKVCache` — int8 payload + per-(token, head) float scales
     (beyond the reference; halves HBM traffic at decode).
-  * sink/sliding eviction — index math (`sink_positions`) replacing the
-    reference's roll-kernel eviction (cache.h:186-204).
+  * sink/sliding eviction — bulk `roll_kv_cache` (amortized over `shift`
+    generated tokens) replacing the reference's per-overflow roll kernel
+    (cache.h:186-204).
 
 The paged cache for continuous batching lives in `engine/paged.py`.
 """
@@ -262,24 +263,6 @@ def roll_kv_cache(cache, num_sink: int, shift: int):
         k=_roll(cache.k, sink=num_sink, n=shift),
         v=_roll(cache.v, sink=num_sink, n=shift),
     )
-
-
-def sink_positions(
-    start_pos: jax.Array, seq_len: int, cache_len: int, num_sink: int
-) -> jax.Array:
-    """Map logical positions → physical cache slots with attention sinks.
-
-    The reference's sink_cache keeps `log2(max_seq_len)` sink tokens and
-    rolls the remainder left on overflow (cache.h:186-204, roll kernel).
-    Here eviction is pure index math on a ring: slots [0, num_sink) are
-    pinned; slots [num_sink, cache_len) form a ring buffer the logical tail
-    wraps into. Returns physical slot ids [seq_len] for logical positions
-    start_pos + arange(seq_len).
-    """
-    logical = jnp.asarray(start_pos, jnp.int32) + jnp.arange(seq_len, dtype=jnp.int32)
-    ring = cache_len - num_sink
-    wrapped = num_sink + (logical - num_sink) % ring
-    return jnp.where(logical < cache_len, logical, wrapped)
 
 
 # ---------------------------------------------------------------- paged KV

@@ -58,6 +58,7 @@ class InferenceServer:
         chat_formatter: Optional[Callable[[Sequence[Mapping[str, str]]], str]] = None,
         default_max_tokens: int = 256,
         eos_ids: Sequence[int] = (),
+        request_timeout: Optional[float] = None,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -65,6 +66,10 @@ class InferenceServer:
         self.chat_formatter = chat_formatter or default_chat_formatter
         self.default_max_tokens = default_max_tokens
         self.eos_ids = tuple(eos_ids)
+        # Wall-clock budget per request: on expiry the request is cancelled
+        # in the engine (slot freed) and the tokens so far are returned with
+        # finish_reason "timeout".
+        self.request_timeout = request_timeout
 
         self._lock = threading.Lock()          # guards engine state
         self._wake = threading.Event()
@@ -202,15 +207,20 @@ class InferenceServer:
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
                 decoder = StreamingDecoder(server.tokenizer)
-                for token in server.iter_tokens(rid):
-                    chunk = decoder.feed(token)
-                    if chunk:
-                        self._sse(_openai_chunk(server.model_name, rid, chunk, chat))
-                tail = decoder.flush()
-                if tail:
-                    self._sse(_openai_chunk(server.model_name, rid, tail, chat))
-                self._sse_raw("[DONE]")
-                self._chunk(b"")  # terminating chunk
+                try:
+                    for token in server.iter_tokens(rid):
+                        chunk = decoder.feed(token)
+                        if chunk:
+                            self._sse(_openai_chunk(server.model_name, rid, chunk, chat))
+                    tail = decoder.flush()
+                    if tail:
+                        self._sse(_openai_chunk(server.model_name, rid, tail, chat))
+                    self._sse_raw("[DONE]")
+                    self._chunk(b"")  # terminating chunk
+                except OSError:
+                    # Client went away mid-stream: free the engine slot
+                    # instead of decoding the rest to nobody (VERDICT r1 #9).
+                    server.cancel(rid)
 
             def _sse(self, payload: Dict[str, Any]) -> None:
                 self._sse_raw(json.dumps(payload))
@@ -238,19 +248,48 @@ class InferenceServer:
 
     # -- token plumbing -------------------------------------------------------
 
+    def cancel(self, rid: int, reason: str = "cancelled") -> bool:
+        """Abort a request: free its engine slot, wake any waiting reader."""
+        with self._lock:
+            cancelled = self.engine.cancel(rid, reason=reason)
+            if cancelled and rid not in self._done:
+                self._done.add(rid)
+                q = self._streams.get(rid)
+                if q is not None:
+                    q.put(_END)
+        self._wake.set()
+        return cancelled
+
     def iter_tokens(self, rid: int):
+        """Yield tokens; on request_timeout expiry, cancel and stop."""
+        deadline = (time.monotonic() + self.request_timeout
+                    if self.request_timeout else None)
         with self._lock:
             q = self._streams[rid]
+        finished = False
         try:
             while True:
-                item = q.get()
+                try:
+                    if deadline is None:
+                        item = q.get()
+                    else:
+                        item = q.get(timeout=max(deadline - time.monotonic(),
+                                                 1e-4))
+                except queue.Empty:
+                    self.cancel(rid, reason="timeout")
+                    return
                 if item is _END:
+                    finished = True
                     return
                 yield item
         finally:
             with self._lock:
                 self._streams.pop(rid, None)
                 self._done.discard(rid)
+            if not finished:
+                # The consumer abandoned the stream (client disconnect, any
+                # transport error): free the engine slot.
+                self.cancel(rid)
 
     def collect(self, rid: int):
         return list(self.iter_tokens(rid))

@@ -321,6 +321,27 @@ class ContinuousBatchingEngine:
     def completion(self, request_id: int) -> Completion:
         return self._completions[request_id]
 
+    def cancel(self, request_id: int, reason: str = "cancelled") -> bool:
+        """Abort a request (client disconnect / timeout): drop it from the
+        queue or release its slot so other requests keep their capacity.
+        Returns False if unknown or already finished."""
+        completion = self._completions.get(request_id)
+        if completion is None or completion.finished:
+            return False
+        for i, req in enumerate(self._queue):
+            if req.request_id == request_id:
+                del self._queue[i]
+                break
+        else:
+            for slot_id, slot in list(self._slots.items()):
+                if slot.request.request_id == request_id:
+                    self._release(slot_id)
+                    break
+        completion.finished = True
+        completion.finished_at = time.perf_counter()
+        completion.finish_reason = reason
+        return True
+
     # -- internals ---------------------------------------------------------
 
     def _admit(self, request: Request) -> bool:

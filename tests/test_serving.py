@@ -216,3 +216,29 @@ def test_midprefill_decode_preserves_prompt_kv(model):
     out = engine.run([a, b])
     assert out[a.request_id].tokens == _reference_greedy(cfg, params, [5, 9, 23], 10)
     assert out[b.request_id].tokens == _reference_greedy(cfg, params, long_prompt, 3)
+
+
+def test_cancel_frees_slot_mid_decode(model):
+    """cancel(): queued requests are dropped, running slots released, and
+    the other requests' tokens are unaffected."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=64)
+    keep = Request(prompt=[5, 9, 23, 42], max_new_tokens=6)
+    drop = Request(prompt=[1, 2, 3], max_new_tokens=30)
+    queued = Request(prompt=[7, 7], max_new_tokens=4)
+    for r in (keep, drop, queued):
+        engine.submit(r)
+    # Run until both slots are decoding.
+    while not (len(engine._slots) == 2
+               and all(s.decoding for s in engine._slots.values())):
+        engine.step()
+    assert engine.cancel(drop.request_id)
+    assert len(engine._slots) == 1
+    assert engine.completion(drop.request_id).finish_reason == "cancelled"
+    assert not engine.cancel(drop.request_id)  # idempotent
+    while engine.has_work:
+        engine.step()
+    assert engine.completion(keep.request_id).tokens == _reference_greedy(
+        cfg, params, [5, 9, 23, 42], 6)
+    # The queued request got the freed slot and completed.
+    assert engine.completion(queued.request_id).finish_reason == "length"

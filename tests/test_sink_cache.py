@@ -4,7 +4,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from metalchat_tpu.cache import KVCache, QuantizedKVCache, roll_kv_cache, sink_positions
+from metalchat_tpu.cache import KVCache, QuantizedKVCache, roll_kv_cache
 from metalchat_tpu.engine import generate_stream
 from metalchat_tpu.models import init_random_params
 from metalchat_tpu.sampling import SamplerConfig
@@ -33,14 +33,6 @@ def test_roll_quantized_cache():
     rolled = roll_kv_cache(cache, num_sink=1, shift=2)
     assert rolled.k.shape == cache.k.shape
     assert rolled.k_scale.dtype == cache.k_scale.dtype
-
-
-def test_sink_positions_ring():
-    pos = np.asarray(sink_positions(0, 8, cache_len=8, num_sink=2))
-    np.testing.assert_array_equal(pos, np.arange(8))
-    pos = np.asarray(sink_positions(8, 4, cache_len=8, num_sink=2))
-    # logical 8..11 wrap into ring slots [2..8)
-    assert all(2 <= p < 8 for p in pos)
 
 
 def test_generation_past_cache_length():
