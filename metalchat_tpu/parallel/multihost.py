@@ -1,0 +1,111 @@
+"""Multi-host serving skeleton (BASELINE config 5).
+
+SPMD serving over `jax.distributed`: every host runs the SAME loop over the
+same jitted programs; arrays live sharded on a global hybrid mesh (tp inside
+each host's ICI domain, dp across hosts on DCN — `make_hybrid_mesh`).
+Request I/O is rank-0's job: it owns the queue, packs fixed-shape batches,
+and `broadcast_one_to_all` replicates each batch's tokens so all processes
+dispatch identical programs; generated tokens come back replicated, so
+rank 0 can stream them to clients with no further communication.
+
+This is batch-synchronous routing — the multi-host *skeleton* the
+continuous-batching engine plugs into later (its scheduler state is already
+host-local; only the packed step inputs need broadcasting). The reference
+is single-process, single-device (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.config import ModelConfig
+from metalchat_tpu.engine.generate import generate
+from metalchat_tpu.parallel.mesh import shard_cache, shard_params
+from metalchat_tpu.sampling import SamplerConfig
+
+
+@dataclass
+class MultiHostServer:
+    """Rank-0-routed, mesh-sharded batch server.
+
+    All processes construct it with identical arguments (params may be
+    host-local shards — `shard_params` places them on the global mesh).
+    Only rank 0's `requests` matter; other ranks pass anything (ignored).
+    """
+
+    params: dict
+    config: ModelConfig
+    mesh: jax.sharding.Mesh
+    batch_size: int = 4          # global batch per round (multiple of dp)
+    max_new_tokens: int = 32
+    quantized_kv: bool = False
+    sampler: SamplerConfig = SamplerConfig.greedy()
+
+    def __post_init__(self):
+        self.params = shard_params(self.params, self.config, self.mesh)
+
+    def _cache(self, prompt_len: int):
+        cls = QuantizedKVCache if self.quantized_kv else KVCache
+        limit = min(self.config.max_seq_len, prompt_len + self.max_new_tokens)
+        return shard_cache(
+            cls.create(self.config, self.batch_size, limit), self.mesh)
+
+    def serve(
+        self, requests: Optional[Sequence[Sequence[int]]]
+    ) -> List[List[int]]:
+        """Run all requests; returns rank-0's per-request token lists (other
+        ranks receive the same replicated tokens — typically discarded).
+
+        Rounds group requests of identical prompt length (token-exact vs
+        the single-device path — no pad conditioning); short rounds repeat
+        a real row and drop the copies. One jit entry per distinct prompt
+        length; production callers bucket lengths upstream."""
+        from jax.experimental import multihost_utils
+
+        is_root = jax.process_index() == 0
+        rounds: List[Tuple[int, List[Tuple[int, List[int]]]]] = []
+        n_requests = 0
+        if is_root and requests:
+            n_requests = len(requests)
+            by_len: dict = {}
+            for i, p in enumerate(requests):
+                by_len.setdefault(len(p), []).append((i, list(p)))
+            for length in sorted(by_len):
+                group = by_len[length]
+                for c in range(0, len(group), self.batch_size):
+                    rounds.append((length, group[c : c + self.batch_size]))
+        n_rounds = int(multihost_utils.broadcast_one_to_all(
+            np.asarray(len(rounds), np.int32)))
+
+        results: List[List[int]] = [[] for _ in range(n_requests)]
+        for r in range(n_rounds):
+            length = int(multihost_utils.broadcast_one_to_all(np.asarray(
+                rounds[r][0] if is_root else 0, np.int32)))
+            toks = np.zeros((self.batch_size, length), np.int32)
+            if is_root:
+                batch = rounds[r][1]
+                for j in range(self.batch_size):
+                    toks[j] = batch[min(j, len(batch) - 1)][1]
+            toks = multihost_utils.broadcast_one_to_all(toks)
+            out = generate(
+                self.params, self.config, jnp.asarray(toks),
+                max_new_tokens=self.max_new_tokens, sampler=self.sampler,
+                cache=self._cache(length),
+            )
+            # Generated ids come back batch-sharded over dp (hosts). One
+            # all-gather replicates them so every host can read the tokens.
+            out = np.asarray(jax.jit(
+                lambda x: x,
+                out_shardings=jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()),
+            )(out))
+            if is_root:
+                for j, (idx, _) in enumerate(rounds[r][1]):
+                    results[idx] = out[j].tolist()
+        return results
