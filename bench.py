@@ -9,9 +9,9 @@ int8 activations, s8×s8→s32 on the MXU), the fastest formulation measured
 on v5e (benchmarks/quant_microbench.py; 2.6× the fused-dequant bf16 path).
 `--config 8b-int4` selects the group-32 weight-only-exact scheme instead.
 Throughput is measured as the *marginal* tokens/s between a short and a
-long generation (the axon tunnel adds ~1.7 s of fixed per-invocation
-latency that would otherwise swamp the number; both runs pay it, the delta
-cancels it).
+long generation (the axon tunnel adds fixed per-invocation latency —
+~28 ms warm, seconds cold — that would otherwise swamp the number; both
+runs pay it, the delta cancels it).
 
 The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
 the fraction of this chip's HBM roofline achieved: decode is bandwidth-bound
@@ -72,13 +72,16 @@ def build(config_name: str):
         cfg = LlamaConfig.llama32_1b(max_seq_len=1024)
         params = init_random_params(cfg, dtype=jnp.bfloat16, max_seq_len=1024)
         quantized_kv = False
-    elif config_name == "small":
+    elif config_name in ("small", "small-f32"):
+        # small-f32: CPU smoke testing (the CPU backend cannot execute
+        # bf16×bf16 dots — CLAUDE.md).
+        dtype = jnp.float32 if config_name == "small-f32" else jnp.bfloat16
         cfg = LlamaConfig(
             vocab_size=512, hidden_size=256, intermediate_size=512,
             num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
             max_seq_len=512, tie_word_embeddings=False,
         )
-        params = init_random_params(cfg, dtype=jnp.bfloat16, max_seq_len=512)
+        params = init_random_params(cfg, dtype=dtype, max_seq_len=512)
         quantized_kv = False
     else:
         raise SystemExit(f"unknown config {config_name}")
@@ -121,7 +124,12 @@ def main() -> None:
                         help="override max_seq_len (KV capacity)")
     parser.add_argument("--steps-lo", type=int, default=16)
     parser.add_argument("--steps-hi", type=int, default=144)
-    parser.add_argument("--mode", choices=["decode", "prefill"], default="decode")
+    parser.add_argument("--mode", choices=["decode", "prefill", "serve"],
+                        default="decode")
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--burst", type=int, default=16)
+    parser.add_argument("--requests", type=int, default=24)
+    parser.add_argument("--max-new", type=int, default=96)
     parser.add_argument("--no-ttft", action="store_true",
                         help="skip the TTFT measurement in decode mode")
     parser.add_argument("--fuse", action=argparse.BooleanOptionalAction,
@@ -150,6 +158,63 @@ def main() -> None:
     max_seq = cfg.max_seq_len
     cls = QuantizedKVCache if quantized_kv else KVCache
     prompt = jnp.ones((args.batch, 16), jnp.int32)
+
+    if args.mode == "serve":
+        # Continuous-batching sustained throughput (BASELINE config 4):
+        # mixed prompt lengths, all submitted upfront (offline saturation),
+        # chunked prefill interleaved with burst decode. Reported tok/s is
+        # generated-tokens / wall from first to last completion; prefill
+        # work happens inside the same window (it is "mixed load", not
+        # subtracted).
+        import random
+
+        from metalchat_tpu.engine.serving import ContinuousBatchingEngine, Request
+
+        rng = random.Random(0)
+        engine = ContinuousBatchingEngine(
+            params, cfg, max_slots=args.slots, max_seq_len=max_seq,
+            quantized_kv=quantized_kv, decode_burst=args.burst,
+            prefill_chunk=256,
+        )
+        hi = min(640, max_seq - args.max_new - 8)
+        lengths = [rng.randint(48, hi) for _ in range(args.requests)]
+        requests = [
+            Request(prompt=[1 + (i % 100)] * n, max_new_tokens=args.max_new)
+            for i, n in enumerate(lengths)
+        ]
+        # Warm the compile caches: one request per prefill bucket shape
+        # (chunks pad to power-of-two buckets ≤ prefill_chunk), and a
+        # max_new budget that walks through EVERY power-of-two burst size
+        # (16+8+4+2+1 for burst=16 — the budget rounds down to a power of
+        # two each dispatch) so no decode program compiles inside the
+        # measured window.
+        warm_new = 2 * args.burst - 1
+        engine.run([Request(prompt=[1] * n, max_new_tokens=warm_new)
+                    for n in (31, 63, 127, 255)])
+        # The meter accumulated warmup TTFTs (compile-dominated) — reset so
+        # the reported percentiles cover only the measured window.
+        engine.meter = type(engine.meter)()
+        engine.meter.start()
+        t0 = time.perf_counter()
+        out = engine.run(requests)
+        wall = time.perf_counter() - t0
+        total = sum(len(c.tokens) for c in out.values())
+        assert all(c.error is None for c in out.values())
+        m = engine.metrics()
+        print(json.dumps({
+            "metric": f"{args.config}_serve_sustained_tokens_per_sec",
+            "value": round(total / wall, 2),
+            "unit": "tokens/s",
+            "vs_baseline": 0.0,
+            "requests": args.requests,
+            "prompt_tokens": sum(lengths),
+            "generated_tokens": total,
+            "slots": args.slots,
+            "decode_burst": args.burst,
+            "ttft_p50_ms": round(1e3 * m.get("ttft_p50", 0.0), 1),
+            "ttft_p99_ms": round(1e3 * m.get("ttft_p99", 0.0), 1),
+        }))
+        return
 
     if args.mode == "prefill":
         # Prefill throughput: marginal tokens/s between a short and a long
@@ -217,7 +282,7 @@ def main() -> None:
 
     if not args.no_ttft:
         # TTFT p50: prefill(n)+sample wall-time with the tunnel round-trip
-        # subtracted (a trivial synced program measures the fixed ~1.7 s
+        # subtracted (a trivial synced program measures the fixed
         # transport latency; on directly-attached hardware the subtraction
         # is ~0 and harmless).
         trivial = jax.jit(lambda x: x + 1)

@@ -136,11 +136,31 @@ def load_scoped_manifest(store_dir: Optional[Path] = None) -> Manifest:
 # -------------------------------------------------------------- credentials
 
 
-class CredentialStore:
-    """Bearer tokens by host (reference: keychain_provider; here a 0600 file)."""
+def _keyring():
+    """Optional OS keyring (reference: program/credential.h:20-50 uses the
+    macOS Keychain). When the `keyring` package is importable AND has a real
+    backend (not the fail/null one), tokens live there; otherwise the 0600
+    TOML file below is the store. Not a baked-in dependency — never required."""
+    try:
+        import keyring
+        from keyring.backends.fail import Keyring as _Fail
 
-    def __init__(self, path: Optional[Path] = None):
+        if isinstance(keyring.get_keyring(), _Fail):
+            return None
+        return keyring
+    except Exception:
+        return None
+
+
+class CredentialStore:
+    """Bearer tokens by host (reference: keychain_provider; here the OS
+    keyring when one is available, else a 0600 file)."""
+
+    SERVICE = "metalchat-tpu"
+
+    def __init__(self, path: Optional[Path] = None, use_keyring: bool = True):
         self.path = path or (home_dir() / "config.toml")
+        self._kr = _keyring() if use_keyring else None
 
     def _load(self) -> Dict[str, Any]:
         if not self.path.exists():
@@ -153,17 +173,33 @@ class CredentialStore:
         self.path.chmod(0o600)
 
     def add(self, host: str, token: str) -> None:
+        if self._kr is not None:
+            self._kr.set_password(self.SERVICE, host, token)
+            # The host list stays in the file (keyrings can't enumerate);
+            # the secret itself never touches disk.
+            data = self._load()
+            data.setdefault("credentials", {})[host] = "@keyring"
+            self._save(data)
+            return
         data = self._load()
         data.setdefault("credentials", {})[host] = token
         self._save(data)
 
     def get(self, host: str) -> Optional[str]:
-        return self._load().get("credentials", {}).get(host)
+        stored = self._load().get("credentials", {}).get(host)
+        if stored == "@keyring" and self._kr is not None:
+            return self._kr.get_password(self.SERVICE, host)
+        return stored
 
     def remove(self, host: str) -> None:
         data = self._load()
-        data.get("credentials", {}).pop(host, None)
+        stored = data.get("credentials", {}).pop(host, None)
         self._save(data)
+        if stored == "@keyring" and self._kr is not None:
+            try:
+                self._kr.delete_password(self.SERVICE, host)
+            except Exception:
+                pass
 
     def list_hosts(self) -> List[str]:
         return sorted(self._load().get("credentials", {}))

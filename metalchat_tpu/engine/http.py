@@ -24,6 +24,7 @@ import queue
 import threading
 import time
 import uuid
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Dict, Mapping, Optional, Sequence
 
@@ -73,6 +74,12 @@ class InferenceServer:
 
         self._lock = threading.Lock()          # guards engine state
         self._wake = threading.Event()
+        # Cancels are queued here and applied by the scheduler thread at the
+        # start of its next iteration: a cancel that CONTENDED on _lock could
+        # starve for seconds behind the step loop (an unfair lock the
+        # scheduler re-acquires immediately), leaving a dead client's slot
+        # decoding. Appends are atomic, so callers never block.
+        self._cancels: "deque" = deque()
         self._streams: Dict[int, "queue.Queue"] = {}
         self._done: set = set()
         self._running = False
@@ -102,6 +109,14 @@ class InferenceServer:
     def _scheduler(self) -> None:
         while self._running:
             with self._lock:
+                while self._cancels:
+                    rid, reason = self._cancels.popleft()
+                    cancelled = self.engine.cancel(rid, reason=reason)
+                    if cancelled and rid not in self._done:
+                        self._done.add(rid)
+                        q = self._streams.get(rid)
+                        if q is not None:
+                            q.put(_END)
                 had_work = self.engine.has_work
                 emitted = self.engine.step() if had_work else []
                 for rid, token in emitted:
@@ -116,6 +131,12 @@ class InferenceServer:
             if not had_work:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
+            else:
+                # Yield the GIL: without this, the step loop can convoy the
+                # handler threads — a streaming client then receives its
+                # first token only after the whole generation finishes
+                # (observed: q.get() starved for 150 puts / ~2 s).
+                time.sleep(0)
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -248,17 +269,20 @@ class InferenceServer:
 
     # -- token plumbing -------------------------------------------------------
 
-    def cancel(self, rid: int, reason: str = "cancelled") -> bool:
-        """Abort a request: free its engine slot, wake any waiting reader."""
-        with self._lock:
-            cancelled = self.engine.cancel(rid, reason=reason)
-            if cancelled and rid not in self._done:
-                self._done.add(rid)
-                q = self._streams.get(rid)
-                if q is not None:
-                    q.put(_END)
+    def cancel(self, rid: int, reason: str = "cancelled",
+               wait: float = 5.0) -> None:
+        """Abort a request: the scheduler thread frees its engine slot at the
+        next loop iteration and wakes any waiting reader (see _cancels).
+        Waits (bounded, lock-free) until applied so callers can read the
+        completion's finish_reason immediately after."""
+        self._cancels.append((rid, reason))
         self._wake.set()
-        return cancelled
+        deadline = time.monotonic() + wait
+        while self._running and time.monotonic() < deadline:
+            completion = self.engine._completions.get(rid)
+            if completion is None or completion.finished:
+                return
+            time.sleep(0.002)
 
     def iter_tokens(self, rid: int):
         """Yield tokens; on request_timeout expiry, cancel and stop."""

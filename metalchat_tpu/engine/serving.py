@@ -175,8 +175,13 @@ class ContinuousBatchingEngine:
         cfg = config
         fwd = self._forward
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
-        def prefill_step(params, cache, tokens, start_pos, slot: int):
+        # `slot` and `last` are TRACED scalars in every prefill program: a
+        # static slot would compile one program per (slot, shape) pair — 8x
+        # the compile count for identical compute (through the tunnel's
+        # ~40 s-per-compile that dominated sustained serving). `last` indexes
+        # the final REAL position when the chunk is end-padded to a bucket.
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_step(params, cache, tokens, start_pos, slot, last):
             """Run one prompt chunk for a single slot (B=1 sub-cache view)."""
             sub = jax.tree.map(lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, 1), cache)
             logits, sub = fwd(params, sub, tokens, start_pos)
@@ -184,10 +189,10 @@ class ContinuousBatchingEngine:
                 lambda full, part: jax.lax.dynamic_update_slice_in_dim(full, part, slot, 1),
                 cache, sub,
             )
-            return logits[:, -1], cache
+            return jax.lax.dynamic_index_in_dim(logits, last, 1, keepdims=False), cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
-        def cp_prefill_step(params, cache, tokens, slot: int):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def cp_prefill_step(params, cache, tokens, slot):
             """Whole-prompt prefill for one slot through sequence-sharded
             ring attention (parallel/context.py)."""
             from metalchat_tpu.parallel.context import context_parallel_prefill
@@ -201,8 +206,8 @@ class ContinuousBatchingEngine:
             )
             return logits, cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("slot",))
-        def paged_prefill_step(params, cache, tokens, start_pos, slot: int):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def paged_prefill_step(params, cache, tokens, start_pos, slot, last):
             """Prefill one slot of a paged cache: pages are global, only the
             slot's page-table row participates."""
             row = jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1, 0)
@@ -215,7 +220,7 @@ class ContinuousBatchingEngine:
                 k_pages=sub.k_pages, v_pages=sub.v_pages,
                 k_scale=sub.k_scale, v_scale=sub.v_scale,
             )
-            return logits[:, -1], cache
+            return jax.lax.dynamic_index_in_dim(logits, last, 1, keepdims=False), cache
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def decode_step(params, cache, tokens, positions, key, temps, ks, ps):
@@ -383,6 +388,29 @@ class ContinuousBatchingEngine:
         self._pt_dirty = True
         return True
 
+    def _bucket_chunk(self, chunk: List[int], slot: _Slot) -> List[int]:
+        """End-pad a prompt chunk to a power-of-two bucket (≥32) so serving
+        compiles O(log prefill_chunk) prefill programs, not one per distinct
+        remainder length. Only the final chunk of a prompt is ever short, so
+        pad garbage lands exclusively at positions ≥ the prompt length:
+        causal masking hides it from the chunk itself, per-row lengths hide
+        it from decode attention, and decode writes overwrite it. The bucket
+        is clamped to the slot's write capacity (cache tail / allocated
+        pages) so padded KV writes never spill past owned rows."""
+        n = len(chunk)
+        if n >= self.prefill_chunk:
+            return chunk
+        bucket = 32
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, self.prefill_chunk)
+        if self.paged:
+            room = len(slot.pages) * self.page_size - slot.pos
+        else:
+            room = self.max_seq_len - slot.pos
+        bucket = max(n, min(bucket, room))
+        return chunk + [0] * (bucket - n)
+
     def _prefill_one(self, slot_id: int, slot: _Slot) -> List[Tuple[int, int]]:
         prompt = list(slot.request.prompt)
         self._flush_page_table()
@@ -391,13 +419,15 @@ class ContinuousBatchingEngine:
             # Whole prompt in one sequence-sharded ring-attention pass.
             tokens = jnp.asarray(prompt, jnp.int32)[None, :]
             logits, self.cache = self._cp_prefill_step(
-                self.params, self.cache, tokens, slot=slot_id)
+                self.params, self.cache, tokens, slot_id)
             chunk = prompt
         else:
             chunk = prompt[slot.prefill_cursor : slot.prefill_cursor + self.prefill_chunk]
-            tokens = jnp.asarray(chunk, jnp.int32)[None, :]
+            padded = self._bucket_chunk(chunk, slot)
+            tokens = jnp.asarray(padded, jnp.int32)[None, :]
             logits, self.cache = self._prefill_step(
-                self.params, self.cache, tokens, slot.pos, slot=slot_id
+                self.params, self.cache, tokens, slot.pos, slot_id,
+                len(chunk) - 1,
             )
         slot.pos += len(chunk)
         slot.prefill_cursor += len(chunk)

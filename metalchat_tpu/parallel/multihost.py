@@ -93,19 +93,51 @@ class MultiHostServer:
                 for j in range(self.batch_size):
                     toks[j] = batch[min(j, len(batch) - 1)][1]
             toks = multihost_utils.broadcast_one_to_all(toks)
-            out = generate(
-                self.params, self.config, jnp.asarray(toks),
-                max_new_tokens=self.max_new_tokens, sampler=self.sampler,
-                cache=self._cache(length),
-            )
-            # Generated ids come back batch-sharded over dp (hosts). One
-            # all-gather replicates them so every host can read the tokens.
-            out = np.asarray(jax.jit(
-                lambda x: x,
-                out_shardings=jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec()),
-            )(out))
+            try:
+                out = self._round(toks, length)
+            except Exception as exc:  # noqa: BLE001 — containment boundary
+                # Failure containment (SURVEY §5): a failed round (peer loss
+                # surfaces as a collective/heartbeat error; bad compile as a
+                # jit error) must not lose the work already done. Completed
+                # results are preserved, the remaining rounds' requests are
+                # reported, and the caller decides whether to re-queue them
+                # on a rebuilt server (jax.distributed cannot shrink a live
+                # mesh — recovery is re-initialize, then `serve(pending)`).
+                pending = [idx for _, grp in rounds[r:] for idx, _ in grp]
+                raise MultiHostRoundError(r, pending, results) from exc
             if is_root:
                 for j, (idx, _) in enumerate(rounds[r][1]):
                     results[idx] = out[j].tolist()
         return results
+
+    def _round(self, toks: np.ndarray, length: int) -> np.ndarray:
+        out = generate(
+            self.params, self.config, jnp.asarray(toks),
+            max_new_tokens=self.max_new_tokens, sampler=self.sampler,
+            cache=self._cache(length),
+        )
+        # Generated ids come back batch-sharded over dp (hosts). One
+        # all-gather replicates them so every host can read the tokens.
+        return np.asarray(jax.jit(
+            lambda x: x,
+            out_shardings=jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()),
+        )(out))
+
+
+class MultiHostRoundError(RuntimeError):
+    """A serving round failed; carries everything needed to resume.
+
+    `completed` holds token lists for requests that finished before the
+    failure; `pending_indices` are request indices (into the original
+    `serve(requests)` list) that still need serving — including the failed
+    round's."""
+
+    def __init__(self, round_index: int, pending_indices: List[int],
+                 completed: List[List[int]]):
+        super().__init__(
+            f"multi-host serving round {round_index} failed; "
+            f"{len(pending_indices)} requests pending re-queue")
+        self.round_index = round_index
+        self.pending_indices = pending_indices
+        self.completed = completed

@@ -131,6 +131,36 @@ def test_credentials(store_home):
     assert creds.get("huggingface.co") is None
 
 
+def test_credentials_keyring(store_home, monkeypatch):
+    """When an OS keyring backend exists, secrets go there and only the
+    '@keyring' marker touches disk (reference: macOS Keychain posture)."""
+
+    class FakeKeyring:
+        def __init__(self):
+            self.db = {}
+
+        def set_password(self, service, host, token):
+            self.db[(service, host)] = token
+
+        def get_password(self, service, host):
+            return self.db.get((service, host))
+
+        def delete_password(self, service, host):
+            del self.db[(service, host)]
+
+    fake = FakeKeyring()
+    monkeypatch.setattr("metalchat_tpu.cli.store._keyring", lambda: fake)
+    creds = CredentialStore()
+    creds.add("huggingface.co", "hf_secret")
+    assert creds.get("huggingface.co") == "hf_secret"
+    assert "hf_secret" not in creds.path.read_text()
+    assert "@keyring" in creds.path.read_text()
+    assert creds.list_hosts() == ["huggingface.co"]
+    creds.remove("huggingface.co")
+    assert creds.get("huggingface.co") is None
+    assert fake.db == {}
+
+
 def test_cli_model_and_credential_commands(fake_checkout, store_home, capsys):
     assert main(["model", "pull", str(fake_checkout), "--name", "tiny"]) == 0
     assert main(["model", "list"]) == 0

@@ -198,8 +198,17 @@ def test_client_disconnect_cancels_request(server):
     instead of decoding to completion (VERDICT r1 #9)."""
     import socket
 
+    import time as _time
+
     _, _, cfg, params, _ = server
     engine = ContinuousBatchingEngine(params, cfg, max_slots=2, max_seq_len=192)
+    # Deterministic race margin: the test needs the disconnect to surface
+    # (one loopback RST round-trip) before the engine exhausts max_tokens —
+    # on a model this tiny that was a coin flip. Slow each decode dispatch
+    # a few ms at the host level (the jitted program is untouched).
+    _orig_decode = engine._decode_step
+    engine._decode_step = lambda *a, **k: (_time.sleep(0.003),
+                                           _orig_decode(*a, **k))[1]
     srv = InferenceServer(engine, ByteTokenizer(), model_name="tiny-cancel")
     port = srv.start()
     try:

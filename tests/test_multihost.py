@@ -121,3 +121,58 @@ def test_multihost_serving_exact(tmp_path):
     served = json.loads(served_path.read_text())
     expected = json.loads(ref_path.read_text())
     assert served == expected
+
+
+def test_round_failure_containment():
+    """A failed round must preserve completed results and name exactly the
+    requests that need re-queueing (SURVEY §5 failure containment; recovery
+    = rebuild the server, serve(pending))."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metalchat_tpu.config import LlamaConfig
+    from metalchat_tpu.engine import generate
+    from metalchat_tpu.models import init_random_params
+    from metalchat_tpu.parallel.mesh import make_mesh
+    from metalchat_tpu.parallel.multihost import (
+        MultiHostRoundError,
+        MultiHostServer,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        max_seq_len=64, tie_word_embeddings=False,
+    )
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=64)
+    mesh = make_mesh(dp=2, tp=4)
+    prompts = [[3, 1, 4], [1, 5, 9], [2, 6, 5, 3, 5]]  # rounds: len3, len5
+
+    server = MultiHostServer(params=params, config=cfg, mesh=mesh,
+                             batch_size=2, max_new_tokens=6)
+    healthy = server._round
+    calls = {"n": 0}
+
+    def flaky(toks, length):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated peer loss")
+        return healthy(toks, length)
+
+    server._round = flaky
+    try:
+        server.serve(prompts)
+        raise AssertionError("expected MultiHostRoundError")
+    except MultiHostRoundError as err:
+        # Round 1 (the two len-3 prompts) completed; round 2 (len-5) failed.
+        assert err.round_index == 1
+        assert err.pending_indices == [2]
+        expected = np.asarray(generate(
+            params, cfg, jnp.asarray([prompts[0]], jnp.int32),
+            max_new_tokens=6))[0].tolist()
+        assert err.completed[0] == expected
+        # Recovery: serve the pending requests on a healthy server.
+        server._round = healthy
+        redo = server.serve([prompts[i] for i in err.pending_indices])
+        assert len(redo) == 1 and len(redo[0]) == 6

@@ -242,3 +242,25 @@ def test_cancel_frees_slot_mid_decode(model):
         cfg, params, [5, 9, 23, 42], 6)
     # The queued request got the freed slot and completed.
     assert engine.completion(queued.request_id).finish_reason == "length"
+
+
+def test_prefill_compile_count_bounded(model):
+    """Distinct prompt lengths must NOT compile distinct prefill programs:
+    chunks are end-padded to power-of-two buckets and the slot id is traced,
+    so an arbitrary request mix compiles O(log prefill_chunk) programs.
+    (Through the TPU tunnel a compile is ~40 s — an unbounded program count
+    made sustained serving compile-bound.) Tokens stay exact under padding."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(
+        params, cfg, max_slots=3, max_seq_len=64, prefill_chunk=16)
+    lengths = [3, 5, 7, 9, 11, 13, 17, 23, 29, 31]
+    reqs = [Request(prompt=[(7 * n) % 97] * n, max_new_tokens=4)
+            for n in lengths]
+    out = engine.run(reqs)
+    for n, (rid, completion) in zip(lengths, sorted(out.items())):
+        assert completion.error is None
+        assert completion.tokens == _reference_greedy(
+            cfg, params, [(7 * n) % 97] * n, 4)
+    # Buckets at prefill_chunk=16: shapes {16} only (min bucket 32 clamps to
+    # the chunk size) — 10 distinct lengths, ≤2 compiled prefill programs.
+    assert engine._prefill_step._cache_size() <= 2
