@@ -193,6 +193,13 @@ def main() -> None:
         warm_new = 2 * args.burst - 1
         engine.run([Request(prompt=[1] * n, max_new_tokens=warm_new)
                     for n in (31, 63, 127, 255)])
+        # Second warm wave: a full-slot batch whose single decode step runs
+        # right after its prefills — the measured run's first decode hits
+        # the single-step program with a prefill-fresh cache, a combination
+        # the budget-walk wave above never exercises (it was observed to
+        # recompile mid-window otherwise).
+        engine.run([Request(prompt=[1] * 40, max_new_tokens=2)
+                    for _ in range(args.slots)])
         # The meter accumulated warmup TTFTs (compile-dominated) — reset so
         # the reported percentiles cover only the measured window.
         engine.meter = type(engine.meter)()
@@ -213,8 +220,13 @@ def main() -> None:
             "generated_tokens": total,
             "slots": args.slots,
             "decode_burst": args.burst,
+            # ttft_* includes queue wait (all requests submitted upfront);
+            # service_ttft_* is admission -> first token, the engine's own
+            # latency.
             "ttft_p50_ms": round(1e3 * m.get("ttft_p50", 0.0), 1),
             "ttft_p99_ms": round(1e3 * m.get("ttft_p99", 0.0), 1),
+            "service_ttft_p50_ms": round(1e3 * m.get("service_ttft_p50", 0.0), 1),
+            "service_ttft_p99_ms": round(1e3 * m.get("service_ttft_p99", 0.0), 1),
         }))
         return
 

@@ -58,6 +58,7 @@ class Completion:
     error: Optional[str] = None
     # metrics
     submitted_at: float = 0.0
+    admitted_at: Optional[float] = None
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
 
@@ -66,6 +67,16 @@ class Completion:
         if self.first_token_at is None:
             return None
         return self.first_token_at - self.submitted_at
+
+    @property
+    def service_ttft(self) -> Optional[float]:
+        """TTFT excluding queue wait (admission → first token): the serving
+        latency a capacity-matched deployment would show. Under all-upfront
+        (offline) load, `ttft` is dominated by queue time and says nothing
+        about the engine."""
+        if self.first_token_at is None or self.admitted_at is None:
+            return None
+        return self.first_token_at - self.admitted_at
 
     @property
     def decode_tokens_per_sec(self) -> Optional[float]:
@@ -364,6 +375,7 @@ class ContinuousBatchingEngine:
             self._pt_dirty = True
         self._free.pop()
         self._slots[slot_id] = slot
+        slot.completion.admitted_at = time.perf_counter()
         return True
 
     _pt_dirty = False
@@ -564,7 +576,8 @@ class ContinuousBatchingEngine:
             completion.finish_reason = (
                 "eos" if done_eos else ("length" if done_len else "cache_full")
             )
-            self.meter.record_request(completion.ttft, len(completion.tokens))
+            self.meter.record_request(completion.ttft, len(completion.tokens),
+                                      completion.service_ttft)
             self._release(slot_id)
         return [(slot.request.request_id, token)]
 

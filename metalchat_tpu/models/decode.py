@@ -39,7 +39,10 @@ from metalchat_tpu.cache import (
 )
 from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.ops import use_pallas, xla as ops
-from metalchat_tpu.ops.a8_matvec_pallas import choose_block_out, quant_matvec_stacked
+from metalchat_tpu.ops.a8_matvec_pallas import (
+    choose_block_out,
+    quant_matvec_stacked_fused,
+)
 from metalchat_tpu.ops.decode_attention_pallas import (
     decode_attention_quantized_stacked,
     decode_attention_stacked,
@@ -47,7 +50,6 @@ from metalchat_tpu.ops.decode_attention_pallas import (
 from metalchat_tpu.quant.quantize import (
     LoraLinear,
     QuantizedTensor,
-    _act_quantize,
     linear,
     lookup_embedding,
     quant_matmul,
@@ -67,14 +69,18 @@ def _slice_qt(qt: QuantizedTensor, l: jax.Array) -> QuantizedTensor:
 
 
 def _kernel_ok(qt: QuantizedTensor) -> bool:
-    """The Pallas matvec covers act8 per-channel transposed storage."""
+    """The Pallas matvec covers act8 per-channel transposed storage.
+
+    Lane alignment: the packed byte axis must be a multiple of 128 — for
+    int4 that is in/2 (so in % 256), for int8 just in % 128 (Gemma's 1152-
+    wide contractions are 128- but not 256-aligned)."""
     k = qt.q.shape[-1]
     return (
         qt.act_bits == 8
         and qt.transposed
         and qt.group_size == qt.in_features
         and choose_block_out(qt.out_features, k) is not None
-        and qt.in_features % 256 == 0  # lane-aligned contraction (int4 half too)
+        and k % 128 == 0
     )
 
 
@@ -82,8 +88,8 @@ def _linear_l(x: jax.Array, leaf: Any, l: jax.Array) -> jax.Array:
     """x [B, in] through layer `l` of a stacked linear leaf.
 
     Dispatch mirrors quant/quantize.py `linear` but never materializes a
-    weight slice for the Pallas path. Duplicate `_act_quantize` calls for
-    projections sharing an input are CSE'd by XLA.
+    weight slice for the Pallas path; activation quantization and the
+    post-scale run inside the kernel (one dispatch per matvec).
     """
     if isinstance(leaf, LoraLinear):
         y = _linear_l(x, leaf.base, l)
@@ -91,11 +97,8 @@ def _linear_l(x: jax.Array, leaf: Any, l: jax.Array) -> jax.Array:
         return y + adapt * jnp.asarray(leaf.scale, y.dtype)
     if isinstance(leaf, QuantizedTensor):
         if leaf.q.ndim == 3 and _kernel_ok(leaf) and use_pallas():
-            xq, sx = _act_quantize(x)
-            acc = quant_matvec_stacked(xq, leaf.q, l, bits=leaf.bits)
-            s_col = _slice_layer(leaf.scales, l)  # [out, 1] (transposed layout)
-            out = acc.astype(jnp.float32) * sx * s_col.reshape(1, -1)
-            return out.astype(x.dtype)
+            return quant_matvec_stacked_fused(x, leaf.q, leaf.scales, l,
+                                              bits=leaf.bits)
         return quant_matmul(x, _slice_qt(leaf, l))
     return x @ _slice_layer(leaf, l)
 
@@ -107,10 +110,8 @@ def _lm_head(x: jax.Array, leaf: Any) -> jax.Array:
     measured)."""
     if (isinstance(leaf, QuantizedTensor) and leaf.q.ndim == 2
             and _kernel_ok(leaf) and use_pallas()):
-        xq, sx = _act_quantize(x)
-        acc = quant_matvec_stacked(xq, leaf.q[None], 0, bits=leaf.bits)
-        out = acc.astype(jnp.float32) * sx * leaf.scales.reshape(1, -1)
-        return out.astype(x.dtype)
+        return quant_matvec_stacked_fused(x, leaf.q[None], leaf.scales[None],
+                                          0, bits=leaf.bits)
     return linear(x, leaf)
 
 

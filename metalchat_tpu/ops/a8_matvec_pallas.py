@@ -38,11 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _w4_kernel(l_ref, x_ref, p_ref, out_ref):
-    x = x_ref[:]
-    half = x.shape[1] // 2
-    x_lo, x_hi = x[:, :half], x[:, half:]
-    p = p_ref[0]                                   # [block_out, half] int8
+def _int_acc_w4(xq, p):
+    half = xq.shape[1] // 2
+    x_lo, x_hi = xq[:, :half], xq[:, half:]
     lo_op = jnp.bitwise_and(p, jnp.int8(15))       # (lo+8) ∈ [0, 15]
     hi_op = jnp.bitwise_and(p, jnp.int8(-16))      # 16·hi  ∈ [-128, 112]
     dims = (((1,), (1,)), ((), ()))
@@ -51,13 +49,42 @@ def _w4_kernel(l_ref, x_ref, p_ref, out_ref):
     acc_hi = jax.lax.dot_general(x_hi, hi_op, dims,
                                  preferred_element_type=jnp.int32)
     corr = 8 * jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
-    out_ref[:] = (acc_lo - corr) + jax.lax.shift_right_arithmetic(acc_hi, 4)
+    return (acc_lo - corr) + jax.lax.shift_right_arithmetic(acc_hi, 4)
+
+
+def _int_acc_w8(xq, q):
+    return jax.lax.dot_general(xq, q, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def _w4_kernel(l_ref, x_ref, p_ref, out_ref):
+    out_ref[:] = _int_acc_w4(x_ref[:], p_ref[0])
 
 
 def _w8_kernel(l_ref, x_ref, q_ref, out_ref):
-    out_ref[:] = jax.lax.dot_general(
-        x_ref[:], q_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    out_ref[:] = _int_acc_w8(x_ref[:], q_ref[0])
+
+
+def _act_quantize_block(x):
+    """Mirror of quant/quantize.py `_act_quantize` (same ops, same order, so
+    the fused kernel is numerically identical to quantize-outside+kernel)."""
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    sx = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _fused_kernel(acc_fn, out_dtype):
+    """bf16-in/bf16-out variant: per-token dynamic int8 quantization of x and
+    the (sx ⊗ s_col) post-scale run INSIDE the kernel. The VPU work is on
+    [B, in] / [B, block_out] rows — negligible next to the weight-tile DMA —
+    and it removes ~3 XLA dispatches per matvec from the decode loop."""
+    def kernel(l_ref, x_ref, p_ref, s_ref, out_ref):
+        xq, sx = _act_quantize_block(x_ref[:].astype(jnp.float32))
+        acc = acc_fn(xq, p_ref[0])
+        s_col = s_ref[0].reshape(1, -1).astype(jnp.float32)
+        out_ref[:] = (acc.astype(jnp.float32) * sx * s_col).astype(out_dtype)
+    return kernel
 
 
 def choose_block_out(out: int, k: int = 2048,
@@ -114,3 +141,50 @@ def quant_matvec_stacked(
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xq, p_stack)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "block_out", "interpret"))
+def quant_matvec_stacked_fused(
+    x: jax.Array,         # bf16/f32 [B, in] — UNquantized activations
+    p_stack: jax.Array,   # int8 [L, out, in] (bits=8) / [L, out, in//2] (bits=4)
+    s_stack: jax.Array,   # f32 [L, out, 1] per-channel weight scales
+    layer: jax.Array,     # scalar int32
+    *,
+    bits: int,
+    block_out: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """`quant_matvec_stacked` with activation quantization and the
+    (sx ⊗ s_col) post-scale fused into the kernel: takes bf16 activations,
+    returns bf16/f32 [B, out]. Numerically identical to
+    `_act_quantize` + `quant_matvec_stacked` + XLA post-scale (same ops,
+    same order — tests/test_a8_matvec.py), but saves ~3 XLA dispatches per
+    matvec, which at 4 matvecs × n_layers dominates the decode step's
+    non-HBM residual."""
+    L, out, k = p_stack.shape
+    b, in_f = x.shape
+    assert k * (2 if bits == 4 else 1) == in_f, (p_stack.shape, x.shape)
+    assert s_stack.shape == (L, out, 1), (s_stack.shape, p_stack.shape)
+    bo = block_out or choose_block_out(out, k)
+    assert bo is not None and out % bo == 0, (out, block_out)
+    kernel = _fused_kernel(_int_acc_w4 if bits == 4 else _int_acc_w8, x.dtype)
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(out // bo,),
+        in_specs=[
+            pl.BlockSpec((b, in_f), lambda j, l: (0, 0)),
+            pl.BlockSpec((1, bo, k), lambda j, l: (l[0], j, 0)),
+            pl.BlockSpec((1, bo, 1), lambda j, l: (l[0], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, bo), lambda j, l: (0, j)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=spec,
+        out_shape=jax.ShapeDtypeStruct((b, out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 << 20,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, p_stack, s_stack)

@@ -163,24 +163,43 @@ def sample_batched(
     greedy = temperature <= 0.0
     safe_t = jnp.where(greedy, 1.0, temperature)[:, None]
     scaled = logits / safe_t
+    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    sorted_logits = jnp.sort(scaled, axis=-1, descending=True)
-    ranks = jnp.argsort(jnp.argsort(scaled, axis=-1, descending=True), axis=-1)
+    def truncated(_) -> jax.Array:
+        sorted_logits = jnp.sort(scaled, axis=-1, descending=True)
+        ranks = jnp.argsort(jnp.argsort(scaled, axis=-1, descending=True),
+                            axis=-1)
 
-    # top-k: keep ranks < k (k<=0 → keep all)
-    k = jnp.where(top_k <= 0, v, top_k)[:, None]
-    keep = ranks < k
+        # top-k: keep ranks < k (k<=0 → keep all)
+        k = jnp.where(top_k <= 0, v, top_k)[:, None]
+        keep = ranks < k
 
-    # top-p over the sorted distribution
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    exclusive = jnp.cumsum(probs, axis=-1) - probs
-    keep_sorted = exclusive < jnp.minimum(top_p, 1.0)[:, None]
-    n_keep = jnp.maximum(jnp.sum(keep_sorted, axis=-1, keepdims=True), 1)
-    keep &= ranks < n_keep
+        # top-p over the sorted distribution
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        exclusive = jnp.cumsum(probs, axis=-1) - probs
+        keep_sorted = exclusive < jnp.minimum(top_p, 1.0)[:, None]
+        n_keep = jnp.maximum(jnp.sum(keep_sorted, axis=-1, keepdims=True), 1)
+        keep &= ranks < n_keep
 
-    masked = jnp.where(keep, scaled, _NEG)
-    drawn = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
-    return jnp.where(greedy, jnp.argmax(logits, axis=-1).astype(jnp.int32), drawn)
+        masked = jnp.where(keep, scaled, _NEG)
+        return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+
+    def untruncated(_) -> jax.Array:
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    # The sorted path costs three full-vocab sorts per step (tens of ms at
+    # Gemma's 262k vocab — it dominated the serve-mode decode step). Rows
+    # that are greedy or pure-temperature never need the sort; skip it at
+    # RUNTIME (lax.cond, not a trace-time branch) whenever no row in the
+    # batch restricts its support.
+    needs_sort = jnp.any(~greedy & ((top_k > 0) | (top_p < 1.0)))
+    drawn = jax.lax.cond(
+        jnp.any(~greedy),
+        lambda _: jax.lax.cond(needs_sort, truncated, untruncated, _),
+        lambda _: argmax,
+        operand=None,
+    )
+    return jnp.where(greedy, argmax, drawn)
 
 
 def multinomial(probs: jax.Array, key: jax.Array) -> jax.Array:

@@ -66,6 +66,7 @@ class Meter:
     """Serving throughput meter: TTFT percentiles + aggregate tokens/s."""
 
     ttfts: List[float] = field(default_factory=list)
+    service_ttfts: List[float] = field(default_factory=list)
     token_counts: List[int] = field(default_factory=list)
     _started: float = 0.0
     _elapsed: float = 0.0
@@ -76,17 +77,24 @@ class Meter:
     def stop(self) -> None:
         self._elapsed += time.perf_counter() - self._started
 
-    def record_request(self, ttft: Optional[float], tokens: int) -> None:
+    def record_request(self, ttft: Optional[float], tokens: int,
+                       service_ttft: Optional[float] = None) -> None:
         if ttft is not None:
             self.ttfts.append(ttft)
+        if service_ttft is not None:
+            self.service_ttfts.append(service_ttft)
         self.token_counts.append(tokens)
 
-    def percentile_ttft(self, pct: float) -> Optional[float]:
-        if not self.ttfts:
+    @staticmethod
+    def _percentile(data: List[float], pct: float) -> Optional[float]:
+        if not data:
             return None
-        data = sorted(self.ttfts)
+        data = sorted(data)
         idx = min(len(data) - 1, int(pct / 100.0 * len(data)))
         return data[idx]
+
+    def percentile_ttft(self, pct: float) -> Optional[float]:
+        return self._percentile(self.ttfts, pct)
 
     def summary(self) -> Dict[str, float]:
         total = sum(self.token_counts)
@@ -96,10 +104,12 @@ class Meter:
         }
         if self._elapsed > 0:
             out["tokens_per_sec"] = total / self._elapsed
-        p50 = self.percentile_ttft(50)
-        p99 = self.percentile_ttft(99)
-        if p50 is not None:
-            out["ttft_p50"] = p50
-        if p99 is not None:
-            out["ttft_p99"] = p99
+        for name, data in (("ttft", self.ttfts),
+                           ("service_ttft", self.service_ttfts)):
+            p50 = self._percentile(data, 50)
+            p99 = self._percentile(data, 99)
+            if p50 is not None:
+                out[f"{name}_p50"] = p50
+            if p99 is not None:
+                out[f"{name}_p99"] = p99
         return out

@@ -10,7 +10,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from metalchat_tpu.ops.a8_matvec_pallas import choose_block_out, quant_matvec_stacked
+from metalchat_tpu.ops.a8_matvec_pallas import (
+    choose_block_out,
+    quant_matvec_stacked,
+    quant_matvec_stacked_fused,
+)
 from metalchat_tpu.quant.quantize import _act_quantize, quantize, quant_matmul
 
 
@@ -34,6 +38,29 @@ def test_matches_xla_reference(bits, batch):
                                    interpret=True)
         got = np.asarray(acc, np.float32) * np.asarray(sx) * stacked_s[l][None]
         np.testing.assert_allclose(got, refs[l], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_matches_unfused(bits, dtype):
+    """The in-kernel act-quantize + post-scale variant is numerically
+    identical to quantize-outside + integer kernel + XLA post-scale."""
+    rng = np.random.default_rng(2)
+    in_f, out_f, L = 512, 768, 3
+    k = in_f // 2 if bits == 4 else in_f
+    p = jnp.asarray(rng.integers(-128, 128, (L, out_f, k), dtype=np.int8))
+    s = jnp.asarray(rng.random((L, out_f, 1), dtype=np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((2, in_f)), dtype)
+    for l in range(L):
+        xq, sx = _act_quantize(x)
+        acc = quant_matvec_stacked(xq, p, l, bits=bits, block_out=256,
+                                   interpret=True)
+        ref = (acc.astype(jnp.float32) * sx * s[l].reshape(1, -1)).astype(dtype)
+        got = quant_matvec_stacked_fused(x, p, s, l, bits=bits, block_out=256,
+                                         interpret=True)
+        assert got.dtype == ref.dtype
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
 
 
 def test_int4_identity_exact():
