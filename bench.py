@@ -32,6 +32,37 @@ import jax
 import jax.numpy as jnp
 
 HBM_BW = 819e9  # v5e ("TPU v5 lite") HBM bandwidth, bytes/s
+MXU_BF16 = 197e12  # v5e peak bf16 FLOP/s
+MXU_INT8 = 394e12  # v5e peak int8 OP/s
+
+
+def linear_flops_per_token(params) -> float:
+    """2·(in×out) summed over every linear leaf (stacked leaves × L), the
+    prefill FLOPs per token. Embedding gather / norms / rope are negligible;
+    attention FLOPs are context-dependent and excluded (so the prefill
+    vs_baseline denominator is an upper bound on useful throughput)."""
+    from metalchat_tpu.quant.quantize import LoraLinear, QuantizedTensor
+
+    total = 0.0
+
+    def leaf_flops(leaf):
+        if isinstance(leaf, LoraLinear):
+            return leaf_flops(leaf.base)
+        if isinstance(leaf, QuantizedTensor):
+            stack = leaf.q.shape[0] if leaf.q.ndim == 3 else 1
+            return 2.0 * leaf.in_features * leaf.out_features * stack
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.dtype != jnp.int32:
+            shape = leaf.shape
+            if leaf.ndim == 2:
+                return 2.0 * shape[0] * shape[1]
+            return 2.0 * shape[-2] * shape[-1] * shape[0]
+        return 0.0
+
+    for name in ("wq", "wk", "wv", "wo", "w1", "w2", "w3", "wqkv", "w13"):
+        if name in params["layers"]:
+            total += leaf_flops(params["layers"][name])
+    total += leaf_flops(params["lm_head"])
+    return total
 
 
 def build(config_name: str):
@@ -210,11 +241,18 @@ def main() -> None:
         total = sum(len(c.tokens) for c in out.values())
         assert all(c.error is None for c in out.values())
         m = engine.metrics()
+        # Honest denominator: decode roofline at full slots (weights read
+        # once per step, amortized over `slots` rows) — the throughput an
+        # ideal engine would reach if every step decoded all slots and
+        # prefill were free. Mixed prefill work + partial occupancy are the
+        # engine's real costs, so the fraction is conservative.
+        bpt = bytes_per_token(cfg, params, quantized_kv, max_seq, args.slots)
+        serve_roof = HBM_BW / bpt * args.slots
         print(json.dumps({
             "metric": f"{args.config}_serve_sustained_tokens_per_sec",
             "value": round(total / wall, 2),
             "unit": "tokens/s",
-            "vs_baseline": 0.0,
+            "vs_baseline": round(total / wall / serve_roof, 4),
             "requests": args.requests,
             "prompt_tokens": sum(lengths),
             "generated_tokens": total,
@@ -250,9 +288,15 @@ def main() -> None:
         lo = min(run_prefill(lo_len) for _ in range(2))
         hi = min(run_prefill(hi_len) for _ in range(2))
         tps = args.batch * (hi_len - lo_len) / (hi - lo)
+        # Honest fraction of MXU peak: tok/s · (2·params) FLOPs/token over
+        # the peak of the dot precision actually used (int8 for act8
+        # schemes, bf16 otherwise).
+        peak = MXU_INT8 if quantized_kv and "bf16" not in args.config else MXU_BF16
+        mxu_roof = peak / linear_flops_per_token(params)
         print(json.dumps({
             "metric": f"llama_{args.config}_prefill_tokens_per_sec",
-            "value": round(tps, 2), "unit": "tokens/s", "vs_baseline": 0.0,
+            "value": round(tps, 2), "unit": "tokens/s",
+            "vs_baseline": round(tps / mxu_roof, 4),
         }))
         return
 
@@ -295,30 +339,51 @@ def main() -> None:
     }
 
     if not args.no_ttft:
-        # TTFT p50 ≈ prefill(n)+sample compute time, measured as the
-        # MARGINAL wall between a tiny prompt and the n-token prompt
-        # through the same code path. Subtracting a null-program sync
-        # doesn't work here: the tunnel pipelines dispatch with compute,
-        # so wall(prefill) ≈ max(transport, compute) and the subtraction
-        # clamps to ~0. The marginal cancels the transport exactly (both
-        # runs pay it) and undercounts only the 16-token floor run.
-        @functools.partial(jax.jit, static_argnames="n")
-        def prefill_once(params, toks, n: int):
-            cache = cls.create(cfg, args.batch, max_seq)
-            logits, _ = forward(params, cache, toks, 0, cfg)
-            return jnp.argmax(logits[:, -1], -1)
+        # TTFT p50 = prefill(n) compute time, measured with the
+        # repeats-marginal: ONE jitted program runs the prefill body R times
+        # (fori_loop, iterations chained through the carry so they stay
+        # sequential), timed at two repeat counts — the fixed tunnel
+        # dispatch+sync latency cancels exactly between two runs of the SAME
+        # executable, and unlike the old short-vs-long-prompt marginal
+        # (ADVICE r2: under-reported by up to the floor run's full
+        # round-trip) nothing of the prefill itself is subtracted away.
+        @functools.partial(jax.jit, static_argnames=("n", "reps"))
+        def prefill_reps(params, toks, n: int, reps: int):
+            def body(i, carry):
+                bias, acc = carry
+                cache = cls.create(cfg, args.batch, max_seq)
+                logits, _ = forward(params, cache, toks + bias, 0, cfg)
+                s = jnp.sum(logits[:, -1])  # consume the sampled position
+                # s·1e-30 floors to int 0 in practice but is data-dependent,
+                # so XLA cannot fold the iterations into one.
+                return jnp.asarray(s * 1e-30, jnp.int32), acc + s
 
-        n = min(512, max_seq - 16)
-        def ttft_run(m: int) -> float:
-            toks = jnp.ones((args.batch, m), jnp.int32)
-            t0 = time.perf_counter()
-            np.asarray(prefill_once(params, toks, m))
-            return time.perf_counter() - t0
-        ttft_run(16), ttft_run(n)  # compile both shapes
-        floor = float(np.median([ttft_run(16) for _ in range(5)]))
-        full = float(np.median([ttft_run(n) for _ in range(5)]))
-        result["ttft_p50_ms"] = round(max(full - floor, 0.0) * 1e3, 2)
-        result["ttft_prefill_len"] = n
+            _, acc = jax.lax.fori_loop(
+                0, reps, body, (jnp.zeros((), jnp.int32),
+                                jnp.zeros((), jnp.float32)))
+            return acc
+
+        def ttft_ms(n: int, r_lo: int = 1, r_hi: int = 5) -> float:
+            toks = jnp.ones((args.batch, n), jnp.int32)
+
+            def run(reps: int) -> float:
+                t0 = time.perf_counter()
+                np.asarray(prefill_reps(params, toks, n, reps))
+                return time.perf_counter() - t0
+
+            run(r_lo), run(r_hi)  # compile both
+            lo = float(np.median([run(r_lo) for _ in range(3)]))
+            hi = float(np.median([run(r_hi) for _ in range(3)]))
+            return max(hi - lo, 0.0) / (r_hi - r_lo) * 1e3
+
+        curve = {}
+        for n in (128, 512, 1024, 2048):
+            if n <= max_seq:
+                curve[n] = round(ttft_ms(n), 2)
+        head = 512 if 512 in curve else max(curve)
+        result["ttft_p50_ms"] = curve[head]
+        result["ttft_prefill_len"] = head
+        result["ttft_ms_by_prefill"] = curve
 
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

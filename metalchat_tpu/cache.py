@@ -72,17 +72,19 @@ class KVCache:
 def _write_rows(cache: jax.Array, new: jax.Array, start_pos: jax.Array) -> jax.Array:
     """dynamic_update_slice at a shared scalar or per-row offset.
 
-    cache [B, n_kv, S_max, ...]; new [B, n_kv, S, ...]; start_pos scalar or [B]
+    cache [B, n_kv, S_max(, head_dim)]; new [B, n_kv, S(, head_dim)] —
+    rank 3 for scale planes, rank 4 for payload. start_pos scalar or [B]
     (per-row offsets are the continuous-batching engine's slot positions).
     """
     start_pos = jnp.asarray(start_pos, jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    tail = (zero,) * (cache.ndim - 3)
     if start_pos.ndim == 0:
-        zero = jnp.zeros((), jnp.int32)
-        return jax.lax.dynamic_update_slice(cache, new, (zero, zero, start_pos, zero))
+        return jax.lax.dynamic_update_slice(
+            cache, new, (zero, zero, start_pos) + tail)
 
     def one(row_cache, row_new, pos):
-        zero = jnp.zeros((), jnp.int32)
-        return jax.lax.dynamic_update_slice(row_cache, row_new, (zero, pos, zero))
+        return jax.lax.dynamic_update_slice(row_cache, row_new, (zero, pos) + tail)
 
     return jax.vmap(one)(cache, new, start_pos)
 
@@ -118,8 +120,10 @@ class QuantizedKVCache:
 
     k: jax.Array        # int8 [L, B, n_kv, S_max, head_dim]
     v: jax.Array        # int8
-    k_scale: jax.Array  # f32  [L, B, n_kv, S_max, 1]
-    v_scale: jax.Array  # f32
+    k_scale: jax.Array  # f32  [L, B, n_kv, S_max] — flat, NO trailing
+    v_scale: jax.Array  # f32    singleton (a size-1 lane dim is 128×-padded
+                        #        by XLA's (8,128) tiling: 1 MB → 128 MB at 8B,
+                        #        plus per-step layout-conversion copies)
 
     @classmethod
     def create(
@@ -131,7 +135,7 @@ class QuantizedKVCache:
     ) -> "QuantizedKVCache":
         s = max_seq_len or config.max_seq_len
         shape = (config.num_layers, batch_size, config.num_kv_heads, s, config.head_dim)
-        sshape = shape[:-1] + (1,)
+        sshape = shape[:-1]
         return cls(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
@@ -151,17 +155,18 @@ class QuantizedKVCache:
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric int8 quantization over the head_dim axis.
 
-    x: [..., S, head_dim] → (int8 payload, f32 scales [..., S, 1]).
+    x: [..., S, head_dim] → (int8 payload, f32 scales [..., S]).
     """
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = absmax / 127.0
     inv = jnp.where(scale == 0.0, 0.0, 1.0 / scale)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
-    return q, scale
+    return q, scale[..., 0]
 
 
 def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    return (q.astype(jnp.float32) * scale).astype(dtype)
+    """q int8 [..., S, head_dim] · scale f32 [..., S] → dtype."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def update_layer_cache_quantized(
@@ -186,8 +191,8 @@ def update_layer_cache_quantized(
 
 
 def _write_rows_stacked(
-    cache: jax.Array,      # [L, B, n_kv, S_max, X]
-    new: jax.Array,        # [B, n_kv, S, X]
+    cache: jax.Array,      # [L, B, n_kv, S_max(, head_dim)]
+    new: jax.Array,        # [B, n_kv, S(, head_dim)]
     layer: jax.Array,      # scalar int32
     start_pos: jax.Array,  # scalar or [B]
 ) -> jax.Array:
@@ -196,15 +201,15 @@ def _write_rows_stacked(
     per-layer slice never exists as a separate buffer)."""
     layer = jnp.asarray(layer, jnp.int32)
     start_pos = jnp.asarray(start_pos, jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    tail = (zero,) * (cache.ndim - 4)
     if start_pos.ndim == 0:
-        zero = jnp.zeros((), jnp.int32)
         return jax.lax.dynamic_update_slice(
-            cache, new[None], (layer, zero, zero, start_pos, zero))
+            cache, new[None], (layer, zero, zero, start_pos) + tail)
 
-    def one(row_cache, row_new, pos):  # row_cache [L, n_kv, S_max, X]
-        zero = jnp.zeros((), jnp.int32)
+    def one(row_cache, row_new, pos):  # row_cache [L, n_kv, S_max(, hd)]
         return jax.lax.dynamic_update_slice(
-            row_cache, row_new[None], (layer, zero, pos, zero))
+            row_cache, row_new[None], (layer, zero, pos) + tail)
 
     return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(cache, new, start_pos)
 
@@ -274,8 +279,10 @@ class PagedKVCache:
 
     k_pages: jax.Array    # int8 [L, n_kv, num_pages, page_size, hd]
     v_pages: jax.Array
-    k_scale: jax.Array    # f32  [L, n_kv, num_pages, page_size, 1]
-    v_scale: jax.Array
+    k_scale: jax.Array    # f32  [L, num_pages, n_kv, page_size] — page-major
+    v_scale: jax.Array    #      and flat (no trailing singleton: lane padding;
+                          #      page-major so a Mosaic block (1, n_kv, psize)
+                          #      has valid last-two dims)
     page_table: jax.Array  # int32 [B, max_pages_per_seq]
     lengths: jax.Array     # int32 [B] — logical sequence lengths
 
@@ -292,11 +299,12 @@ class PagedKVCache:
         mps = max_pages_per_seq or (config.max_seq_len // page_size)
         shape = (config.num_layers, config.num_kv_heads, num_pages, page_size,
                  config.head_dim)
+        sshape = (config.num_layers, num_pages, config.num_kv_heads, page_size)
         return cls(
             k_pages=jnp.zeros(shape, jnp.int8),
             v_pages=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
-            v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
             page_table=jnp.zeros((max_slots, mps), jnp.int32),
             lengths=jnp.zeros((max_slots,), jnp.int32),
         )
@@ -324,7 +332,7 @@ class PagedKVCache:
 def write_paged_layer(
     k_pages: jax.Array,   # [n_kv, P, psize, hd] int8
     v_pages: jax.Array,
-    k_scale: jax.Array,   # [n_kv, P, psize, 1]
+    k_scale: jax.Array,   # [P, n_kv, psize] f32
     v_scale: jax.Array,
     k_new: jax.Array,     # [B, S, n_kv, hd] (bf16/f32 — quantized here)
     v_new: jax.Array,
@@ -332,7 +340,7 @@ def write_paged_layer(
     offsets: jax.Array,   # int32 [B, S] offset within the page
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Quantize + scatter new K/V into their pages (one layer)."""
-    qk, sk = quantize_kv(k_new)   # [B, S, n_kv, hd], [B, S, n_kv, 1]
+    qk, sk = quantize_kv(k_new)   # [B, S, n_kv, hd], [B, S, n_kv]
     qv, sv = quantize_kv(v_new)
     b, s = pages.shape
     flat_pages = pages.reshape(-1)
@@ -344,9 +352,16 @@ def write_paged_layer(
             vals.astype(pages_arr.dtype), mode="drop"
         )
 
+    def put_scale(scale_arr, vals):  # scale_arr [P, n_kv, psize], vals [B,S,n_kv]
+        # Advanced indices on dims 0 and 2 with a slice between: numpy rules
+        # move the indexed axes first → value shape [B*S, n_kv].
+        return scale_arr.at[flat_pages, :, flat_offs].set(
+            vals.reshape(b * s, -1).astype(scale_arr.dtype), mode="drop"
+        )
+
     return (
         put(k_pages, qk), put(v_pages, qv),
-        put(k_scale, sk.astype(jnp.float32)), put(v_scale, sv.astype(jnp.float32)),
+        put_scale(k_scale, sk), put_scale(v_scale, sv),
     )
 
 
@@ -363,6 +378,17 @@ def gather_pages_dense(
     gathered = jnp.take(pages, page_table, axis=1, mode="clip")  # [n_kv, B, mp, psize, X]
     n_kv, b, mp, psize, x = gathered.shape
     return jnp.transpose(gathered, (1, 0, 2, 3, 4)).reshape(b, n_kv, mp * psize, x)
+
+
+def gather_page_scales(
+    scales: jax.Array,      # [P, n_kv, psize]
+    page_table: jax.Array,  # [B, max_pages]
+) -> jax.Array:
+    """Dense gather of per-page KV scales → [B, n_kv, max_pages*psize]
+    (XLA/test fallback matching `gather_pages_dense`; clamped like it)."""
+    g = jnp.take(scales, page_table, axis=0, mode="clip")  # [B, mp, n_kv, psize]
+    b, mp, n_kv, psize = g.shape
+    return jnp.transpose(g, (0, 2, 1, 3)).reshape(b, n_kv, mp * psize)
 
 
 def positions_to_pages(

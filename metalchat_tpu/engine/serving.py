@@ -353,9 +353,7 @@ class ContinuousBatchingEngine:
                 if slot.request.request_id == request_id:
                     self._release(slot_id)
                     break
-        completion.finished = True
-        completion.finished_at = time.perf_counter()
-        completion.finish_reason = reason
+        self._finish(completion, reason)
         return True
 
     # -- internals ---------------------------------------------------------
@@ -484,10 +482,7 @@ class ContinuousBatchingEngine:
             if not slot.decoding:
                 continue
             if self.paged and not self._grow_slot(slot_id, slot):
-                completion = slot.completion
-                completion.finished = True
-                completion.finished_at = time.perf_counter()
-                completion.finish_reason = "kv_oom"
+                self._finish(slot.completion, "kv_oom")
                 self._release(slot_id)
                 continue
             active.append(slot_id)
@@ -562,6 +557,18 @@ class ContinuousBatchingEngine:
             steps *= 2
         return steps
 
+    def _finish(self, completion: "Completion", reason: str) -> None:
+        """Mark finished and record metering for ANY completion that produced
+        a first token — including cancelled / kv_oom ones, so the reported
+        TTFT percentiles have no survivorship bias under load shedding
+        (ADVICE r2)."""
+        completion.finished = True
+        completion.finished_at = time.perf_counter()
+        completion.finish_reason = reason
+        if completion.first_token_at is not None:
+            self.meter.record_request(completion.ttft, len(completion.tokens),
+                                      completion.service_ttft)
+
     def _emit(self, slot_id: int, slot: _Slot, token: int) -> List[Tuple[int, int]]:
         completion = slot.completion
         now = time.perf_counter()
@@ -571,13 +578,8 @@ class ContinuousBatchingEngine:
         done_eos = token in slot.request.eos_ids
         done_len = len(completion.tokens) >= slot.request.max_new_tokens
         if done_eos or done_len or slot.pos + 1 >= self.max_seq_len:
-            completion.finished = True
-            completion.finished_at = now
-            completion.finish_reason = (
-                "eos" if done_eos else ("length" if done_len else "cache_full")
-            )
-            self.meter.record_request(completion.ttft, len(completion.tokens),
-                                      completion.service_ttft)
+            self._finish(completion, "eos" if done_eos
+                         else ("length" if done_len else "cache_full"))
             self._release(slot_id)
         return [(slot.request.request_id, token)]
 

@@ -44,6 +44,7 @@ from metalchat_tpu.cache import (
     PagedKVCache,
     QuantizedKVCache,
     dequantize_kv,
+    gather_page_scales,
     gather_pages_dense,
     positions_to_pages,
     update_layer_cache,
@@ -186,9 +187,9 @@ def _layer_step(
         if paged:
             kp, vp, ksc, vsc = new_slices
             keys = dequantize_kv(gather_pages_dense(kp, page_table),
-                                 gather_pages_dense(ksc, page_table), x.dtype)
+                                 gather_page_scales(ksc, page_table), x.dtype)
             values = dequantize_kv(gather_pages_dense(vp, page_table),
-                                   gather_pages_dense(vsc, page_table), x.dtype)
+                                   gather_page_scales(vsc, page_table), x.dtype)
         elif quantized_cache:
             keys = dequantize_kv(ck, sk, x.dtype)
             values = dequantize_kv(cv, sv, x.dtype)

@@ -148,7 +148,9 @@ def quant_matvec_stacked(
 def quant_matvec_stacked_fused(
     x: jax.Array,         # bf16/f32 [B, in] — UNquantized activations
     p_stack: jax.Array,   # int8 [L, out, in] (bits=8) / [L, out, in//2] (bits=4)
-    s_stack: jax.Array,   # f32 [L, out, 1] per-channel weight scales
+    s_stack: jax.Array,   # f32 [L, 1, out] per-channel weight scales
+                          # (out on lanes — a trailing size-1 lane dim gets
+                          # 128×-padded by XLA tiling; see QuantizedTensor)
     layer: jax.Array,     # scalar int32
     *,
     bits: int,
@@ -165,7 +167,7 @@ def quant_matvec_stacked_fused(
     L, out, k = p_stack.shape
     b, in_f = x.shape
     assert k * (2 if bits == 4 else 1) == in_f, (p_stack.shape, x.shape)
-    assert s_stack.shape == (L, out, 1), (s_stack.shape, p_stack.shape)
+    assert s_stack.shape == (L, 1, out), (s_stack.shape, p_stack.shape)
     bo = block_out or choose_block_out(out, k)
     assert bo is not None and out % bo == 0, (out, block_out)
     kernel = _fused_kernel(_int_acc_w4 if bits == 4 else _int_acc_w8, x.dtype)
@@ -175,7 +177,7 @@ def quant_matvec_stacked_fused(
         in_specs=[
             pl.BlockSpec((b, in_f), lambda j, l: (0, 0)),
             pl.BlockSpec((1, bo, k), lambda j, l: (l[0], j, 0)),
-            pl.BlockSpec((1, bo, 1), lambda j, l: (l[0], j, 0)),
+            pl.BlockSpec((1, 1, bo), lambda j, l: (l[0], 0, j)),
         ],
         out_specs=pl.BlockSpec((b, bo), lambda j, l: (0, j)),
     )

@@ -13,7 +13,14 @@ to the array dims):
   q        [B, n_kv, groups, hd]   — heads are kv-major, so the groups for
                                      kv-head h are one contiguous block
   k, v     [B, n_kv, T, hd]        — the cache-native head-major layout
-  scales   [B, n_kv, T, 1]         — int8-KV per-position scales
+  scales   [B, n_kv, T]            — int8-KV per-position scales, FLAT (a
+    trailing size-1 lane dim is 128×-padded by XLA tiling — measured ~1.3
+    ms/step of padded layout-conversion copies on the 8B decode trace).
+    The scale block spans all n_kv heads (valid last-two block dims); the
+    kernel selects row h with a one-hot sum and applies k-scales to the
+    score row / v-scales to the probability row LANE-wise — algebraically
+    identical to scaling K/V (the scale is constant along head_dim) and
+    cheaper than a sublane-broadcast multiply.
 
 Variants:
   * bf16 KV — `decode_attention`
@@ -60,6 +67,7 @@ def _decode_kernel(
     v_scale_ref=None,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     t = pl.program_id(2)
     length = lengths_ref[b]
     window = window_ref[0]
@@ -75,18 +83,27 @@ def _decode_kernel(
     in_range = start < length
     in_range &= is_global | (start + block_t > length - 1 - window)
 
+    def head_row(scale_ref):
+        # Scale blocks span all n_kv heads ([.., n_kv, block_t]); select
+        # kv-head h as a [1, block_t] lane vector with a one-hot sum.
+        all_heads = scale_ref[...].astype(jnp.float32)
+        all_heads = all_heads.reshape(all_heads.shape[-2:])
+        sel = jax.lax.broadcasted_iota(jnp.int32, all_heads.shape, 0) == h
+        return jnp.sum(jnp.where(sel, all_heads, 0.0), axis=0, keepdims=True)
+
     @pl.when(in_range)
     def _run():
         # Blocks are rank 4 ([1,1,g,hd]) or rank 5 when the cache is stacked
         # over layers ([1,1,1,bt,hd]); reshape to the 2-D tile either way.
         q = q_ref[...].astype(jnp.float32).reshape(q_ref.shape[-2:])
         k = k_ref[...].astype(jnp.float32).reshape(k_ref.shape[-2:])
-        if quantized:
-            ks = k_scale_ref[...].astype(jnp.float32)
-            k = k * ks.reshape(k_scale_ref.shape[-2:])  # [block_t, 1] bcast
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                  # [groups, block_t]
+        if quantized:
+            # k-scale is constant along head_dim → factors out of the dot;
+            # applying it to the score row is a lane-wise broadcast.
+            s = s * head_row(k_scale_ref)
 
         kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         ok = kv_pos < length
@@ -105,8 +122,7 @@ def _decode_kernel(
 
         v = v_ref[...].astype(jnp.float32).reshape(v_ref.shape[-2:])
         if quantized:
-            vs = v_scale_ref[...].astype(jnp.float32)
-            v = v * vs.reshape(v_scale_ref.shape[-2:])
+            p = p * head_row(v_scale_ref)  # v-scale constant along head_dim
         o_curr = jnp.dot(p, v, preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + o_curr
 
@@ -138,7 +154,7 @@ def decode_attention_quantized(
     q: jax.Array,
     k: jax.Array,          # int8 [B, n_kv, T, hd]
     v: jax.Array,
-    k_scale: jax.Array,    # f32 [B, n_kv, T, 1]
+    k_scale: jax.Array,    # f32 [B, n_kv, T]
     v_scale: jax.Array,
     lengths: jax.Array,
     *,
@@ -181,6 +197,11 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
     def kv_map(bb, h, tt, lens, win):
         return (bb, h, _block_clamp(tt, lens, win, bb, block_t), 0)
 
+    def scale_map(bb, h, tt, lens, win):
+        # Scale blocks span all n_kv heads (block dim = array dim — always a
+        # valid Mosaic last-two-dims shape); the kernel one-hot-selects row h.
+        return (bb, 0, _block_clamp(tt, lens, win, bb, block_t))
+
     in_specs = [
         pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
         pl.BlockSpec((1, 1, block_t, hd), kv_map),
@@ -189,8 +210,8 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
     args = [q4, k, v]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, block_t, 1), kv_map),
-            pl.BlockSpec((1, 1, block_t, 1), kv_map),
+            pl.BlockSpec((1, nkv, block_t), scale_map),
+            pl.BlockSpec((1, nkv, block_t), scale_map),
         ]
         args += [ks, vs]
 
@@ -246,7 +267,7 @@ def decode_attention_quantized_stacked(
     q, k, v, k_scale, v_scale, layer, lengths, *, scale, window=None,
     block_t: int = 256, interpret: bool = False,
 ):
-    """int8-KV variant of `decode_attention_stacked`; scales [L, B, n_kv, T, 1]."""
+    """int8-KV variant of `decode_attention_stacked`; scales [L, B, n_kv, T]."""
     return _decode_call_stacked(q, k, v, k_scale, v_scale, layer, lengths,
                                 scale=scale, window=window, block_t=block_t,
                                 interpret=interpret)
@@ -267,6 +288,9 @@ def _decode_call_stacked(q, k, v, ks, vs, layer, lengths, *, scale, window,
     def kv_map(bb, h, tt, lens, win, lay):
         return (lay[0], bb, h, _block_clamp(tt, lens, win, bb, block_t), 0)
 
+    def scale_map(bb, h, tt, lens, win, lay):
+        return (lay[0], bb, 0, _block_clamp(tt, lens, win, bb, block_t))
+
     in_specs = [
         pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
         pl.BlockSpec((1, 1, 1, block_t, hd), kv_map),
@@ -275,8 +299,8 @@ def _decode_call_stacked(q, k, v, ks, vs, layer, lengths, *, scale, window,
     args = [q4, k, v]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, block_t, 1), kv_map),
-            pl.BlockSpec((1, 1, 1, block_t, 1), kv_map),
+            pl.BlockSpec((1, 1, nkv, block_t), scale_map),
+            pl.BlockSpec((1, 1, nkv, block_t), scale_map),
         ]
         args += [ks, vs]
 

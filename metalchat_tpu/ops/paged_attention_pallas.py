@@ -33,8 +33,8 @@ def _paged_kernel(
     q_ref,         # [1, 1, groups, hd]
     k_ref,         # [1, 1, psize, hd]  (page selected by index_map)
     v_ref,
-    ks_ref,        # [1, 1, psize, 1]
-    vs_ref,
+    ks_ref,        # [1, n_kv, psize] — whole page's scales, all heads (a
+    vs_ref,        #   trailing size-1 lane dim would be 128×-padded)
     o_ref,         # [1, 1, groups, hd]
     m_ref,
     l_ref,
@@ -44,6 +44,7 @@ def _paged_kernel(
     scale: float,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     i = pl.program_id(2)
     length = lengths_ref[b]
     window = window_ref[0]
@@ -59,13 +60,20 @@ def _paged_kernel(
     in_range = start < length
     in_range &= is_global | (start + page_size > length - 1 - window)
 
+    def head_row(scale_ref):
+        # [1, n_kv, psize] → kv-head h's scales as a [1, psize] lane vector.
+        all_heads = scale_ref[0].astype(jnp.float32)
+        sel = jax.lax.broadcasted_iota(jnp.int32, all_heads.shape, 0) == h
+        return jnp.sum(jnp.where(sel, all_heads, 0.0), axis=0, keepdims=True)
+
     @pl.when(in_range)
     def _run():
         q = q_ref[0, 0].astype(jnp.float32)                      # [groups, hd]
-        k = k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                                # [groups, psize]
+        s = s * head_row(ks_ref)  # k-scale constant along hd → post-dot
 
         kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         ok = kv_pos < length
@@ -82,9 +90,9 @@ def _paged_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+            p * head_row(vs_ref), v, preferred_element_type=jnp.float32
         )
 
     @pl.when(i == pl.num_programs(2) - 1)
@@ -99,7 +107,7 @@ def paged_decode_attention(
     q: jax.Array,           # [B, nh, hd]
     k_pages: jax.Array,     # int8 [n_kv, P, psize, hd]
     v_pages: jax.Array,
-    k_scale: jax.Array,     # f32 [n_kv, P, psize, 1]
+    k_scale: jax.Array,     # f32 [P, n_kv, psize] (page-major, flat)
     v_scale: jax.Array,
     page_table: jax.Array,  # int32 [B, max_pages_per_seq]
     lengths: jax.Array,     # int32 [B]
@@ -126,7 +134,7 @@ def paged_decode_attention(
         return (h, jnp.minimum(pt[bb, i], limit), 0, 0)
 
     def scales_map(bb, h, i, pt, lens, win):
-        return (h, jnp.minimum(pt[bb, i], limit), 0, 0)
+        return (jnp.minimum(pt[bb, i], limit), 0, 0)
 
     kernel = functools.partial(_paged_kernel, page_size=psize, scale=scale)
     out = pl.pallas_call(
@@ -139,8 +147,8 @@ def paged_decode_attention(
                 pl.BlockSpec((1, 1, groups, hd), lambda bb, h, i, *_: (bb, h, 0, 0)),
                 pl.BlockSpec((1, 1, psize, hd), page_map),
                 pl.BlockSpec((1, 1, psize, hd), page_map),
-                pl.BlockSpec((1, 1, psize, 1), scales_map),
-                pl.BlockSpec((1, 1, psize, 1), scales_map),
+                pl.BlockSpec((1, n_kv, psize), scales_map),
+                pl.BlockSpec((1, n_kv, psize), scales_map),
             ],
             out_specs=pl.BlockSpec((1, 1, groups, hd), lambda bb, h, i, *_: (bb, h, 0, 0)),
             scratch_shapes=[

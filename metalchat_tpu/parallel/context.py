@@ -142,13 +142,13 @@ def context_parallel_prefill(
 
     zero = (0, 0, 0, 0, 0)
     if quantized:
-        qk, sk = quantize_kv(ks.astype(jnp.float32))
+        qk, sk = quantize_kv(ks.astype(jnp.float32))  # sk [L, B, nkv, S]
         qv, sv = quantize_kv(vs.astype(jnp.float32))
         cache = QuantizedKVCache(
             k=jax.lax.dynamic_update_slice(cache.k, qk, zero),
             v=jax.lax.dynamic_update_slice(cache.v, qv, zero),
-            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, sk, zero),
-            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, sv, zero),
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, sk, zero[:4]),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, sv, zero[:4]),
         )
     else:
         cache = KVCache(

@@ -129,7 +129,8 @@ def cache_shardings(mesh: Mesh, quantized: bool = False, num_kv_heads: Optional[
     head_axis = "tp" if (num_kv_heads is None or num_kv_heads % tp == 0) else None
     kv = NamedSharding(mesh, P(None, "dp", head_axis, None, None))
     if quantized:
-        return QuantizedKVCache(k=kv, v=kv, k_scale=kv, v_scale=kv)
+        sc = NamedSharding(mesh, P(None, "dp", head_axis, None))  # [L,B,nkv,S]
+        return QuantizedKVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
     return KVCache(k=kv, v=kv)
 
 

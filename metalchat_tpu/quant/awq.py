@@ -41,12 +41,17 @@ def calibration_stats(
     params: Dict[str, Any],
     config: ModelConfig,
     tokens: jax.Array,  # int32 [B, S] calibration batch
+    tap=None,
 ) -> Dict[str, np.ndarray]:
-    """Mean |activation| per input channel at each foldable projection.
+    """Per-input-channel activation statistics at each foldable projection.
 
     Walks the dense (unquantized) model layer by layer with the same XLA
     ops as `_layer_step`, recording the four tap points. Returns
-    {"qkv": [L, h], "wo": [L, nh*hd], "w13": [L, h], "w2": [L, f]}.
+    {"qkv": [L, ...], "wo": [L, ...], "w13": [L, ...], "w2": [L, ...]}.
+
+    `tap(h [B, S, in]) -> np.ndarray` customizes the statistic; the default
+    is mean |h| per channel (AWQ saliency). GPTQ passes a second-moment tap
+    (`hessian_tap`, quant/gptq.py) to collect layer Hessians H = XᵀX.
     """
     if config.num_experts:
         raise NotImplementedError("AWQ calibration: dense FFN models only")
@@ -61,9 +66,10 @@ def calibration_stats(
     x = embed_tokens(params, tokens, positions, config).astype(jnp.float32)
     layers = params["layers"]
 
-    def tap(h):  # mean |h| over batch and sequence → per-channel saliency
-        return np.asarray(jnp.mean(jnp.abs(h.astype(jnp.float32)),
-                                   axis=(0, 1)))
+    if tap is None:
+        def tap(h):  # mean |h| over batch and sequence → per-channel saliency
+            return np.asarray(jnp.mean(jnp.abs(h.astype(jnp.float32)),
+                                       axis=(0, 1)))
 
     def norm(h, w, bias=None):
         if config.norm_type == "layernorm":

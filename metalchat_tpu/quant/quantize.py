@@ -48,6 +48,11 @@ class QuantizedTensor:
     always run along the logical in-features axis:
       * transposed=False: q [(L,) in(/2), out], scales [(L,) in/g, out]
       * transposed=True:  q [(L,) out, in(/2)], scales [(L,) out, in/g]
+    EXCEPT per-channel tensors (group_size == in_features): their scales stay
+    [(L,), 1, out] in BOTH orientations. A trailing size-1 dim would land on
+    the TPU lane axis, where XLA's (8,128) tiling pads it 128× — the [L,out,1]
+    layout cost ~1.3 ms/step of layout-conversion copies on the 8B decode
+    trace (benchmarks/profile_decode.py, r3).
     Wide-output matvecs ([1,K]·[K,N], N≫K — FFN up-projections, lm_head)
     lower to VPU multiply-reduce with materialized broadcasts on TPU in the
     natural orientation; storing them transposed keeps the dequant fused
@@ -183,7 +188,8 @@ def quantize(
     sc = scales.squeeze(-2)
     if transposed:
         q = np.ascontiguousarray(np.swapaxes(q, -1, -2))
-        sc = np.ascontiguousarray(np.swapaxes(sc, -1, -2))
+        if group_size != in_features:  # per-channel scales stay [.., 1, out]
+            sc = np.ascontiguousarray(np.swapaxes(sc, -1, -2))
     return QuantizedTensor(
         q=jnp.asarray(q),
         scales=jnp.asarray(sc, scales_dtype),
@@ -198,11 +204,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the dense [in, out] weight (tests / the reference's
     one-time-dequant path, quantization/linear.h:50-54)."""
     if qt.transposed:
-        qt = QuantizedTensor(
-            q=jnp.swapaxes(qt.q, -1, -2), scales=jnp.swapaxes(qt.scales, -1, -2),
-            bits=qt.bits, group_size=qt.group_size, transposed=False,
-            act_bits=qt.act_bits,
-        )
+        qt = with_orientation(qt, False)
     q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
     shape = q.shape
     grouped = q.reshape(*shape[:-2], shape[-2] // qt.group_size, qt.group_size, shape[-1])
@@ -211,12 +213,16 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def with_orientation(qt: QuantizedTensor, transposed: bool) -> QuantizedTensor:
-    """Convert a QuantizedTensor's storage orientation (no numeric change)."""
+    """Convert a QuantizedTensor's storage orientation (no numeric change).
+
+    Per-channel scales ([.., 1, out]) are orientation-invariant — see
+    QuantizedTensor docstring (lane-padding)."""
     if qt.transposed == transposed:
         return qt
+    per_channel = qt.group_size == qt.in_features
     return QuantizedTensor(
         q=jnp.swapaxes(qt.q, -1, -2),
-        scales=jnp.swapaxes(qt.scales, -1, -2),
+        scales=qt.scales if per_channel else jnp.swapaxes(qt.scales, -1, -2),
         bits=qt.bits, group_size=qt.group_size, transposed=transposed,
         act_bits=qt.act_bits,
     )
@@ -376,6 +382,9 @@ def _quant_matmul_transposed(x: jax.Array, qt: QuantizedTensor, scales) -> jax.A
     dtype = x.dtype
     g = qt.group_size
     dims = lambda: (((x.ndim - 1,), (1,)), ((), ()))  # noqa: E731
+    if g == qt.in_features:
+        # Per-channel scales are stored [.., 1, out] in both orientations.
+        scales = jnp.swapaxes(scales, -1, -2)  # → [.., out, 1]
     if qt.bits == 8:
         q = qt.q  # [out, in]
         out_features, in_features = q.shape[-2:]
@@ -511,7 +520,10 @@ def init_random_quantized_params(
         transposed = act_bits == 8 or out_f > in_f
         if transposed:
             q = jax.random.randint(k1, lead + (out_f, in_f // pack), -127, 128, jnp.int8)
-            s = (jax.random.uniform(k2, lead + (out_f, in_f // g)) * 0.01 + 0.001)
+            if g == in_f:  # per-channel scales stay [.., 1, out]
+                s = (jax.random.uniform(k2, lead + (1, out_f)) * 0.01 + 0.001)
+            else:
+                s = (jax.random.uniform(k2, lead + (out_f, in_f // g)) * 0.01 + 0.001)
         else:
             q = jax.random.randint(k1, lead + (in_f // pack, out_f), -127, 128, jnp.int8)
             s = (jax.random.uniform(k2, lead + (in_f // g, out_f)) * 0.01 + 0.001)

@@ -49,7 +49,7 @@ def test_fused_matches_unfused(bits, dtype):
     in_f, out_f, L = 512, 768, 3
     k = in_f // 2 if bits == 4 else in_f
     p = jnp.asarray(rng.integers(-128, 128, (L, out_f, k), dtype=np.int8))
-    s = jnp.asarray(rng.random((L, out_f, 1), dtype=np.float32) * 0.1)
+    s = jnp.asarray(rng.random((L, 1, out_f), dtype=np.float32) * 0.1)
     x = jnp.asarray(rng.standard_normal((2, in_f)), dtype)
     for l in range(L):
         xq, sx = _act_quantize(x)

@@ -11,6 +11,7 @@ from metalchat_tpu.cache import (
     KVCache,
     PagedKVCache,
     dequantize_kv,
+    gather_page_scales,
     gather_pages_dense,
     positions_to_pages,
     quantize_kv,
@@ -49,7 +50,7 @@ def test_write_and_gather_roundtrip():
     n_kv, P, psize, hd = 2, 6, 4, 8
     kp = jnp.zeros((n_kv, P, psize, hd), jnp.int8)
     vp = jnp.zeros_like(kp)
-    ks = jnp.zeros((n_kv, P, psize, 1), jnp.float32)
+    ks = jnp.zeros((P, n_kv, psize), jnp.float32)
     vs = jnp.zeros_like(ks)
     # One sequence (B=1), 6 tokens over pages [5, 1]
     k_new = jnp.asarray(rng.standard_normal((1, 6, n_kv, hd)), jnp.float32)
@@ -60,7 +61,7 @@ def test_write_and_gather_roundtrip():
     kp, vp, ks, vs = write_paged_layer(kp, vp, ks, vs, k_new, v_new, pages, offs)
 
     dense_k = dequantize_kv(gather_pages_dense(kp, table),
-                            gather_pages_dense(ks, table), jnp.float32)
+                            gather_page_scales(ks, table), jnp.float32)
     # First 6 positions must match the (int8-roundtripped) inputs.
     expect = dequantize_kv(*quantize_kv(jnp.swapaxes(k_new, 1, 2)), jnp.float32)
     np.testing.assert_allclose(np.asarray(dense_k)[:, :, :6], np.asarray(expect),
@@ -70,7 +71,7 @@ def test_write_and_gather_roundtrip():
 def test_write_sentinel_page_dropped():
     n_kv, P, psize, hd = 1, 2, 4, 8
     kp = jnp.zeros((n_kv, P, psize, hd), jnp.int8)
-    vp, ks, vs = kp, jnp.zeros((n_kv, P, psize, 1)), jnp.zeros((n_kv, P, psize, 1))
+    vp, ks, vs = kp, jnp.zeros((P, n_kv, psize)), jnp.zeros((P, n_kv, psize))
     k_new = jnp.ones((1, 1, n_kv, hd), jnp.float32)
     pages = jnp.asarray([[P]], jnp.int32)  # sentinel = out of range
     offs = jnp.asarray([[0]], jnp.int32)
@@ -90,17 +91,17 @@ def test_paged_attention_kernel_matches_dense():
     tables = np.array([[0, 3, 7, 2], [1, 4, 5, 8]], np.int32)
     kp = np.zeros((n_kv, P, psize, hd), np.int8)
     vp = np.zeros_like(kp)
-    ks = np.zeros((n_kv, P, psize, 1), np.float32)
+    ks = np.zeros((P, n_kv, psize), np.float32)
     vs = np.zeros_like(ks)
-    qk, sk = quantize_kv(kd)
+    qk, sk = quantize_kv(kd)   # sk [B, n_kv, mp*psize]
     qv, sv = quantize_kv(vd)
     for row in range(b):
         for i in range(mp):
             page = tables[row, i]
             kp[:, page] = np.asarray(qk)[row, :, i * psize:(i + 1) * psize]
             vp[:, page] = np.asarray(qv)[row, :, i * psize:(i + 1) * psize]
-            ks[:, page] = np.asarray(sk)[row, :, i * psize:(i + 1) * psize]
-            vs[:, page] = np.asarray(sv)[row, :, i * psize:(i + 1) * psize]
+            ks[page] = np.asarray(sk)[row, :, i * psize:(i + 1) * psize]
+            vs[page] = np.asarray(sv)[row, :, i * psize:(i + 1) * psize]
 
     got = np.asarray(paged_decode_attention(
         q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(ks), jnp.asarray(vs),

@@ -73,6 +73,15 @@ def main() -> None:
         if nll < best_nll:
             best_alpha, best_nll, w4a8_awq = alpha, nll, cand
     print(f"awq alpha -> {best_alpha}")
+
+    from metalchat_tpu.quant.gptq import gptq_quantize_params
+
+    t0 = time.time()
+    w4a8_gptq = gptq_quantize_params(params, cfg, calib, bits=4)
+    w4a8_awq_gptq = gptq_quantize_params(params, cfg, calib, bits=4,
+                                         awq_alpha=best_alpha)
+    print(f"gptq quantization: {time.time()-t0:.1f}s", flush=True)
+
     schemes = {
         "bf16": (params, False),
         "int8_g32": (quantize_params(params, bits=8, group_size=32), False),
@@ -86,6 +95,8 @@ def main() -> None:
             quantize_params(params, bits=4, group_size=None, act_bits=8,
                             clip_search=True), False),
         "w4a8_awq": (w4a8_awq, False),
+        "w4a8_gptq": (w4a8_gptq, False),
+        "w4a8_awq_gptq": (w4a8_awq_gptq, False),
         "w4a8_awq_int8kv": (w4a8_awq, True),
     }
 
@@ -110,7 +121,20 @@ def main() -> None:
     tokens_scored = args.batches * args.batch * (args.seq - 1)
 
     # Headline = best int4 + int8-activation scheme (what bench.py runs).
-    headline = min(("w4a8", "w4a8_clip", "w4a8_awq"), key=lambda k: results[k])
+    headline = min(("w4a8", "w4a8_clip", "w4a8_awq", "w4a8_gptq",
+                    "w4a8_awq_gptq"), key=lambda k: results[k])
+    # Re-measure the int8-KV variant on the WINNING scheme so the shipped
+    # configuration (headline + int8 KV) is what the `_int8kv` row reports.
+    best_params = dict(schemes)[headline][0]
+    vals = []
+    for b in range(args.batches):
+        vals.append(float(nll_fn(best_params, tokens=jnp.asarray(data[b]),
+                                 quantized_kv=True)))
+    results["headline_int8kv"] = float(np.exp(np.mean(vals)))
+    schemes["headline_int8kv"] = (best_params, True)
+    deltas["headline_int8kv"] = 100.0 * (results["headline_int8kv"] - ref) / ref
+    print(f"{'headline_int8kv':14s} ppl {results['headline_int8kv']:.4f}",
+          flush=True)
     quality = {
         "fixture": args.fixture,
         "eval_tokens": tokens_scored,
