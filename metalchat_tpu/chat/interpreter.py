@@ -92,6 +92,12 @@ class Interpreter:
         self.commands = CommandScanner(list(commands) if commands else [])
         self.variables: Dict[str, Any] = {}
         self._key = jax.random.PRNGKey(seed)
+        # HF Jinja2 templates (chat/hf_template.py HFChatTemplates) render
+        # whole conversations; the session tracks messages + the canonical
+        # rendered text so each write emits only the delta.
+        self._hf = hasattr(self.templates, "render_message_delta")
+        self._messages: List[Dict[str, str]] = []
+        self._hf_emitted = ""
 
         dtype = params["final_norm"].dtype
         self.cache = KVCache.create(config, 1, self.max_seq_len, dtype=dtype)
@@ -143,15 +149,44 @@ class Interpreter:
 
     def write(self, content: str, role: str = "user") -> None:
         """Render + encode one chat message into the pending buffer."""
-        text = render_template(
-            self.templates.message, self._template_scope(role=role, content=content)
-        )
+        self._messages.append({"role": role, "content": content})
+        if self._hf:
+            full = self.templates._render(self._messages, False)
+            if full.startswith(self._hf_emitted):
+                text = full[len(self._hf_emitted):]
+            else:  # template rewrote earlier text (e.g. trimmed a reply):
+                # emit only this message's delta and resync the baseline.
+                text = self.templates.render_message_delta(self._messages)
+            self._hf_emitted = full
+        else:
+            text = render_template(
+                self.templates.message,
+                self._template_scope(role=role, content=content),
+            )
         self._write_text(text)
 
     def write_header(self, role: str) -> None:
-        self._write_text(
-            render_template(self.templates.header, self._template_scope(role=role))
-        )
+        if self._hf:
+            text = self.templates.render_generation_header(self._messages)
+            self._hf_emitted += text
+        else:
+            text = render_template(self.templates.header,
+                                   self._template_scope(role=role))
+        self._write_text(text)
+
+    def _record_reply(self, text: str) -> None:
+        """Track a finished assistant reply so the next HF-template delta
+        renders against the full conversation (mustache mode: KV is the only
+        history, nothing to track)."""
+        self._messages.append({"role": self.assistant_role, "content": text})
+        if self._hf:
+            stop_text = ""
+            if self._buffer and self._buffer[-1] in self.stop_ids:
+                try:
+                    stop_text = self.tokenizer.decode([self._buffer[-1]])
+                except Exception:
+                    stop_text = ""
+            self._hf_emitted += text + stop_text
 
     # -- reading -----------------------------------------------------------
 
@@ -198,13 +233,17 @@ class Interpreter:
 
     def read_stream(self) -> Iterator[str]:
         decoder = StreamingDecoder(self.tokenizer)
+        parts: List[str] = []
         for token in self.read_tokens():
             chunk = decoder.feed(token)
             if chunk:
+                parts.append(chunk)
                 yield chunk
         tail = decoder.flush()
         if tail:
+            parts.append(tail)
             yield tail
+        self._record_reply("".join(parts))
 
     def read(self) -> str:
         return "".join(self.read_stream())

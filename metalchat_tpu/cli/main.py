@@ -97,9 +97,20 @@ def _load_session(ref: str, args) -> "object":
         top_k=int(sampling.get("k", 50)),
         top_p=float(sampling.get("probability", 0.9)),
     )
-    templates = (
-        ChatTemplates.gemma3() if isinstance(config, Gemma3Config) else ChatTemplates.llama3()
-    )
+    # Prefer the checkpoint's own chat template (tokenizer_config.json —
+    # reference renders templates from model artifacts, interpreter.cc:116);
+    # fall back to the built-in mustache formats.
+    templates = None
+    model_dir = model.path if model is not None else Path(ref)
+    try:
+        from metalchat_tpu.chat.hf_template import load_hf_chat_templates
+
+        templates = load_hf_chat_templates(model_dir)
+    except (OSError, ValueError):
+        templates = None
+    if templates is None:
+        templates = (ChatTemplates.gemma3() if isinstance(config, Gemma3Config)
+                     else ChatTemplates.llama3())
     return Interpreter(
         params, config, tokenizer,
         templates=templates, sampler=sampler,
@@ -115,10 +126,39 @@ def _cmd_prompt(args) -> int:
     if args.system:
         session.write(args.system, role="system")
     session.write(content, role="user")
+    if getattr(args, "draft", None):
+        return _prompt_speculative(args, session)
     for chunk in session.read_stream():
         sys.stdout.write(chunk)
         sys.stdout.flush()
     sys.stdout.write("\n")
+    return 0
+
+
+def _prompt_speculative(args, session) -> int:
+    """One-shot completion through draft/target speculative decoding: the
+    session renders the prompt (same templates/tokenizer), the draft model
+    proposes, the target verifies — output is exactly the target's greedy
+    decode (engine/speculative.py)."""
+    import jax.numpy as jnp
+
+    from metalchat_tpu.engine.speculative import speculative_generate
+
+    draft = _load_session(args.draft, args)
+    session.write_header(session.assistant_role)
+    prompt_tokens = jnp.asarray([session._buffer], jnp.int32)
+    tokens, stats = speculative_generate(
+        session.params, session.config, draft.params, draft.config,
+        prompt_tokens,
+        max_new_tokens=args.max_tokens, n_draft=args.n_draft,
+        temperature=0.0, eos_ids=tuple(session.stop_ids),
+    )
+    out = [int(t) for t in tokens if int(t) not in session.stop_ids]
+    sys.stdout.write(session.tokenizer.decode(out))
+    sys.stdout.write("\n")
+    sys.stderr.write(
+        f"[speculative] accept_rate={stats['accept_rate']:.2f} "
+        f"tokens/iteration={stats['tokens_per_iteration']:.2f}\n")
     return 0
 
 
@@ -343,6 +383,12 @@ def build_parser() -> argparse.ArgumentParser:
     prompt = sub.add_parser("prompt", help="one-shot completion")
     add_infer_args(prompt)
     prompt.add_argument("-c", "--content", default=None)
+    prompt.add_argument("--draft", default=None, metavar="MODEL",
+                        help="speculative decoding: draft model ref (e.g. a "
+                             "1B W8A8 against an 8B W4A8 target); exact "
+                             "greedy output of the target model")
+    prompt.add_argument("--n-draft", type=int, default=4,
+                        help="draft tokens proposed per verify round")
     prompt.set_defaults(fn=_cmd_prompt)
 
     stdin_p = sub.add_parser("-", help="prompt from stdin")

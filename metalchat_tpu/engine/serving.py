@@ -119,6 +119,7 @@ class ContinuousBatchingEngine:
         context_parallel_mesh=None,
         context_parallel_axis: str = "sp",
         context_parallel_threshold: int = 512,
+        spmd_mesh=None,
     ):
         self.params = params
         self.config = config
@@ -152,6 +153,17 @@ class ContinuousBatchingEngine:
         self.cp_threshold = context_parallel_threshold
         if self.cp_mesh is not None and cache_mode == "paged":
             raise ValueError("context-parallel prefill needs a dense cache mode")
+        # SPMD mode (BASELINE config 5): every process runs THIS SAME engine
+        # loop in lockstep over a global mesh — params/cache live sharded
+        # (weights on tp over ICI, slots on dp over DCN), scheduler state
+        # stays host-local and identical across processes because it is a
+        # pure function of (broadcast request intake, jitted step outputs),
+        # and the step outputs are forced replicated so every host can read
+        # the sampled tokens. See parallel/multihost.py MultiHostEngine for
+        # the rank-0 intake broadcast.
+        self.spmd_mesh = spmd_mesh
+        if spmd_mesh is not None and self.paged:
+            raise ValueError("SPMD engine mode supports dense cache modes")
         if cache is not None and self.paged:
             raise ValueError("external cache is for dense modes (pp serving)")
         if cache is not None:
@@ -174,6 +186,10 @@ class ContinuousBatchingEngine:
             self.cache = KVCache.create(
                 config, max_slots, self.max_seq_len, dtype=params["final_norm"].dtype
             )
+        if spmd_mesh is not None and cache is None:
+            from metalchat_tpu.parallel.mesh import shard_cache
+
+            self.cache = shard_cache(self.cache, spmd_mesh)
         self._key = jax.random.PRNGKey(seed)
         self._queue: Deque[Request] = deque()
         self._slots: Dict[int, _Slot] = {}
@@ -186,12 +202,27 @@ class ContinuousBatchingEngine:
         cfg = config
         fwd = self._forward
 
+        if spmd_mesh is not None:
+            # Replicate host-read outputs (logits / sampled tokens) so every
+            # process can pull them; the cache keeps its mesh sharding.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(spmd_mesh, PartitionSpec())
+            cache_sh = jax.tree.map(lambda x: x.sharding, self.cache)
+
+            def _jit(f, **kw):
+                # Every step fn returns (host-read array, cache).
+                return jax.jit(f, out_shardings=(rep, cache_sh), **kw)
+        else:
+            def _jit(f, **kw):
+                return jax.jit(f, **kw)
+
         # `slot` and `last` are TRACED scalars in every prefill program: a
         # static slot would compile one program per (slot, shape) pair — 8x
         # the compile count for identical compute (through the tunnel's
         # ~40 s-per-compile that dominated sustained serving). `last` indexes
         # the final REAL position when the chunk is end-padded to a bucket.
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(_jit, donate_argnums=(1,))
         def prefill_step(params, cache, tokens, start_pos, slot, last):
             """Run one prompt chunk for a single slot (B=1 sub-cache view)."""
             sub = jax.tree.map(lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, 1), cache)
@@ -217,7 +248,7 @@ class ContinuousBatchingEngine:
             )
             return logits, cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(_jit, donate_argnums=(1,))
         def paged_prefill_step(params, cache, tokens, start_pos, slot, last):
             """Prefill one slot of a paged cache: pages are global, only the
             slot's page-table row participates."""
@@ -233,13 +264,13 @@ class ContinuousBatchingEngine:
             )
             return jax.lax.dynamic_index_in_dim(logits, last, 1, keepdims=False), cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(_jit, donate_argnums=(1,))
         def decode_step(params, cache, tokens, positions, key, temps, ks, ps):
             logits, cache = fwd(params, cache, tokens[:, None], positions)
             next_tokens = sample_batched(logits[:, 0], key, temps, ks, ps)
             return next_tokens, cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("steps",))
+        @functools.partial(_jit, donate_argnums=(1,), static_argnames=("steps",))
         def decode_burst_step(params, cache, tokens, positions, advance, key,
                               temps, ks, ps, steps: int):
             """`steps` decode steps for all rows in one compiled program.

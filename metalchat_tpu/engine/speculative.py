@@ -69,12 +69,19 @@ def speculative_generate(
     seed: int = 0,
     target_cache=None,
     draft_cache=None,
+    _force_accept: Optional[int] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Generate with draft/target speculative decoding (batch 1).
 
     Returns (tokens [n] int32, stats{"accept_rate", "iterations", ...}).
     temperature=0 → exact target greedy decode; >0 → rejection sampling
     whose output distribution equals sampling the target directly.
+
+    `_force_accept` is a BENCHMARK-ONLY hook (benchmarks/speculative_bench):
+    pretend exactly k drafts verify each round, so the full pipeline cost
+    (draft matvecs + verify prefill + host sync) can be measured as a
+    function of accept rate with random weights — output tokens are then
+    meaningless. Real runs leave it None.
     """
     assert prompt.shape[0] == 1, "speculative decoding is a latency feature: B=1"
     m = prompt.shape[1]
@@ -132,7 +139,12 @@ def speculative_generate(
 
         accepted = []
         k_acc = 0
-        if temperature == 0.0:
+        if _force_accept is not None:
+            greedy = np.asarray(jnp.argmax(v_logits, axis=-1))
+            k_acc = min(_force_accept, len(drafts))
+            accepted = drafts[:k_acc]
+            next_tok = int(greedy[k_acc])
+        elif temperature == 0.0:
             greedy = np.asarray(jnp.argmax(v_logits, axis=-1))
             for i, d in enumerate(drafts):
                 if d == int(greedy[i]):

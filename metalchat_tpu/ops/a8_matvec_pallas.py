@@ -87,6 +87,30 @@ def _fused_kernel(acc_fn, out_dtype):
     return kernel
 
 
+def _block_overrides() -> dict:
+    """Shape-keyed block_out overrides for experiments:
+    METALCHAT_BLOCK_OVERRIDES="4096x2048:512,28672x2048:1024" (out x k)."""
+    import os
+
+    raw = os.environ.get("METALCHAT_BLOCK_OVERRIDES", "")
+    out = {}
+    for item in raw.split(","):
+        if ":" in item:
+            shape, bo = item.split(":")
+            out[tuple(map(int, shape.split("x")))] = int(bo)
+    return out
+
+
+# Per-(out, k)-shape tuned blocks, measured end-to-end on v5e 8B decode
+# (r3 A/B: wo 4096x2048 @512 +1.8 tok/s, wqkv 6144x2048 @768 +3.1; combined
+# 170.4 -> 173.9). The narrow matvecs pipeline better with more grid steps;
+# the wide ones (w13/w2/lm_head) keep the ~4 MB default.
+_TUNED = {
+    (4096, 2048): 512,   # wo (and any 4096-out, 4096-in packed int4)
+    (6144, 2048): 768,   # fused wqkv at 8B GQA dims
+}
+
+
 def choose_block_out(out: int, k: int = 2048,
                      tile_budget: int = 4 << 20) -> Optional[int]:
     """Largest lane-friendly block dividing `out` whose (block, k) tile fits
@@ -95,6 +119,9 @@ def choose_block_out(out: int, k: int = 2048,
     more per-grid-step overhead. The kernel raises the scoped VMEM limit so
     Mosaic can buffer several tiles deep (v5e has 128 MB VMEM; the deeper
     pipeline was worth -25% on the 167-step lm_head matvec)."""
+    override = _block_overrides().get((out, k)) or _TUNED.get((out, k))
+    if override and out % override == 0:
+        return override
     for candidate in (2048, 1024, 768, 512, 384, 256, 128):
         if candidate <= out and out % candidate == 0 and candidate * k <= tile_budget:
             return candidate

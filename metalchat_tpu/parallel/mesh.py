@@ -150,10 +150,13 @@ def _prune_to(tree: Dict[str, Any], reference: Dict[str, Any], default=None) -> 
 def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
     """Place a parameter tree onto the mesh with TP shardings.
 
-    QuantizedTensor leaves inherit the dense leaf's spec (q and group scales
-    shard the same named axis); LoRA adaptors are replicated — rank is tiny
-    and replication keeps the adaptor matmuls collective-free."""
-    from metalchat_tpu.quant.quantize import LoraLinear
+    QuantizedTensor leaves inherit the dense leaf's LOGICAL ([in, out]) spec,
+    remapped onto their physical storage: transposed tensors swap the last
+    two spec entries for q, grouped scales follow q's orientation, and
+    per-channel scales ([.., 1, out]) shard only the out axis. LoRA adaptors
+    are replicated — rank is tiny and replication keeps the adaptor matmuls
+    collective-free."""
+    from metalchat_tpu.quant.quantize import LoraLinear, QuantizedTensor
 
     replicated = NamedSharding(mesh, P())
     shardings = _prune_to(param_shardings(config, mesh), params, default=replicated)
@@ -162,6 +165,23 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
         if isinstance(leaf, LoraLinear):
             return LoraLinear(base=expand(spec, leaf.base), a=replicated,
                               b=replicated, scale=leaf.scale)
+        if isinstance(leaf, QuantizedTensor):
+            p = list(spec.spec) if isinstance(spec, NamedSharding) else []
+            p += [None] * (leaf.q.ndim - len(p))
+            lead, in_s, out_s = p[:-2], p[-2], p[-1]
+            q_spec = P(*lead, out_s, in_s) if leaf.transposed else P(*lead, in_s, out_s)
+            if leaf.group_size == leaf.in_features:   # scales [.., 1, out]
+                s_spec = P(*lead, None, out_s)
+            elif leaf.transposed:                     # scales [.., out, in/g]
+                s_spec = P(*lead, out_s, in_s)
+            else:                                     # scales [.., in/g, out]
+                s_spec = P(*lead, in_s, out_s)
+            return QuantizedTensor(
+                q=NamedSharding(mesh, q_spec),
+                scales=NamedSharding(mesh, s_spec),
+                bits=leaf.bits, group_size=leaf.group_size,
+                transposed=leaf.transposed, act_bits=leaf.act_bits,
+            )
         return spec
 
     def walk(spec, ref):

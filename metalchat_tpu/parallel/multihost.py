@@ -141,3 +141,81 @@ class MultiHostRoundError(RuntimeError):
         self.round_index = round_index
         self.pending_indices = pending_indices
         self.completed = completed
+
+
+class MultiHostEngine:
+    """SPMD continuous batching over a multi-process mesh (config 5).
+
+    Every process constructs the same engine (weights tp-sharded over ICI,
+    KV slots dp-sharded over DCN — `make_hybrid_mesh`) and runs the SAME
+    scheduling loop in lockstep. The engine's host state is a deterministic
+    function of (request intake, jitted step outputs); step outputs are
+    replicated (ContinuousBatchingEngine spmd_mesh mode), so the only
+    cross-process traffic besides the model collectives is rank 0
+    broadcasting the request list. Generated tokens are identical on every
+    process; rank 0 streams them to clients.
+
+    Unlike `MultiHostServer` (batch-synchronous, one jit entry per prompt
+    length, duplicated short-round rows), this runs the real mixed
+    prefill+decode scheduler: chunked/bucketed prefill, decode bursts,
+    per-row positions, per-request samplers.
+    """
+
+    def __init__(self, params, config: ModelConfig, mesh: jax.sharding.Mesh,
+                 **engine_kw):
+        from metalchat_tpu.engine.serving import ContinuousBatchingEngine
+
+        self.mesh = mesh
+        self.is_root = jax.process_index() == 0
+        params = shard_params(params, config, mesh)
+        self.engine = ContinuousBatchingEngine(
+            params, config, spmd_mesh=mesh, **engine_kw)
+
+    @staticmethod
+    def _broadcast_json(obj, is_root: bool):
+        import json
+
+        from jax.experimental import multihost_utils
+
+        payload = json.dumps(obj).encode() if is_root else b""
+        n = int(multihost_utils.broadcast_one_to_all(
+            np.asarray(len(payload), np.int32)))
+        buf = np.zeros(n, np.uint8)
+        if is_root:
+            buf[:] = np.frombuffer(payload, np.uint8)
+        buf = multihost_utils.broadcast_one_to_all(buf)
+        return json.loads(bytes(buf).decode())
+
+    def run(self, requests=None):
+        """Serve `requests` (rank 0's; other ranks pass None). Returns
+        {request_id: Completion} — identical token streams on every rank."""
+        from metalchat_tpu.engine.serving import Request
+
+        spec = None
+        if self.is_root:
+            spec = [
+                {
+                    "prompt": list(r.prompt),
+                    "max_new_tokens": r.max_new_tokens,
+                    "eos_ids": list(r.eos_ids),
+                    "sampler": [r.sampler.temperature, r.sampler.top_k,
+                                r.sampler.top_p],
+                }
+                for r in (requests or [])
+            ]
+        spec = self._broadcast_json(spec, self.is_root)
+        from metalchat_tpu.sampling import SamplerConfig
+
+        reqs = [
+            Request(
+                prompt=s["prompt"], max_new_tokens=s["max_new_tokens"],
+                eos_ids=tuple(s["eos_ids"]),
+                sampler=SamplerConfig(temperature=s["sampler"][0],
+                                      top_k=int(s["sampler"][1]),
+                                      top_p=s["sampler"][2]),
+            )
+            for s in spec
+        ]
+        # Identical submissions + deterministic scheduling + replicated step
+        # outputs ⇒ identical `step()` sequences with NO further coordination.
+        return self.engine.run(reqs)

@@ -498,12 +498,15 @@ def init_random_quantized_params(
     scales_dtype=jnp.bfloat16,
     max_seq_len: Optional[int] = None,
     act_bits: Optional[int] = None,
+    dtype=jnp.bfloat16,
 ):
     """Directly initialize a random *quantized* parameter tree on device.
 
     Benchmarks at 8B/70B scale can't afford materializing fp weights first;
     random packed bytes + small positive scales have the same memory layout
-    and arithmetic cost as real quantized checkpoints.
+    and arithmetic cost as real quantized checkpoints. `dtype` sets the
+    dense leaves (norms/embedding), i.e. the activation dtype — f32 for CPU
+    tests (the CPU backend cannot execute bf16 dots).
     """
     from metalchat_tpu.models.transformer import make_rope_tables
 
@@ -533,8 +536,8 @@ def init_random_quantized_params(
 
     keys = iter(jax.random.split(key, 12))
     layers = {
-        "attn_norm": jnp.ones((L, h), jnp.bfloat16),
-        "ffn_norm": jnp.ones((L, h), jnp.bfloat16),
+        "attn_norm": jnp.ones((L, h), dtype),
+        "ffn_norm": jnp.ones((L, h), dtype),
         "wq": qlin(next(keys), h, nh * hd),
         "wk": qlin(next(keys), h, nkv * hd),
         "wv": qlin(next(keys), h, nkv * hd),
@@ -544,18 +547,18 @@ def init_random_quantized_params(
         "w2": qlin(next(keys), f, h),
     }
     if getattr(config, "use_qk_norm", False):
-        layers["q_norm"] = jnp.ones((L, hd), jnp.bfloat16)
-        layers["k_norm"] = jnp.ones((L, hd), jnp.bfloat16)
+        layers["q_norm"] = jnp.ones((L, hd), dtype)
+        layers["k_norm"] = jnp.ones((L, hd), dtype)
     if getattr(config, "use_post_norms", False):
-        layers["post_attn_norm"] = jnp.ones((L, h), jnp.bfloat16)
-        layers["post_ffn_norm"] = jnp.ones((L, h), jnp.bfloat16)
+        layers["post_attn_norm"] = jnp.ones((L, h), dtype)
+        layers["post_ffn_norm"] = jnp.ones((L, h), dtype)
     embed = (jax.random.normal(next(keys), (config.vocab_size, h)) * 0.02).astype(
-        jnp.bfloat16
+        dtype
     )
     return {
         "embed": embed,
         "layers": layers,
-        "final_norm": jnp.ones((h,), jnp.bfloat16),
+        "final_norm": jnp.ones((h,), dtype),
         "lm_head": qlin(next(keys), h, config.vocab_size, stack=False),
         "rope": make_rope_tables(config, max_seq_len),
     }

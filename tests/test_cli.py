@@ -224,3 +224,16 @@ def test_cli_serve_jsonl(fake_checkout, store_home, tmp_path, capsys):
     first = _json.loads(lines[0])
     assert first["prompt"] == "hello" and first["tokens"] == 3
     assert _json.loads(lines[1])["tokens"] == 2
+
+
+def test_cli_prompt_speculative(fake_checkout, store_home, capsys):
+    """--draft: speculative decoding through the CLI (draft == target here,
+    so every draft verifies and output equals the plain greedy prompt)."""
+    assert main(["model", "pull", str(fake_checkout), "--name", "tiny"]) == 0
+    capsys.readouterr()
+    rc = main(["prompt", "tiny", "-c", "hello", "--max-tokens", "4",
+               "--draft", "tiny", "--n-draft", "3"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert captured.out.endswith("\n")
+    assert "accept_rate=1.00" in captured.err
