@@ -6,7 +6,11 @@ HBM, the softmax is the online (running max/sum) formulation, and the KV
 cache is read exactly once per step. GQA is exploited MXU-side: all
 `groups = nh/nkv` query heads that share a KV head are batched into one
 [groups, hd] × [hd, block_t] matmul (the reference materializes
-repeat_interleave copies of KV instead — transform.h:80-90).
+repeat_interleave copies of KV instead — transform.h:80-90), and ALL kv
+heads run in one grid step as a batched dot_general — the r2 kernel's
+(b, n_kv, T/block) grid spent ~10 µs/layer of per-grid-step overhead at
+short fills (315 µs/step on the 8B trace); the (b, T/block) grid cuts the
+step count 8×.
 
 Layouts (Mosaic block rules: last two block dims must be ÷(8,128) or equal
 to the array dims):
@@ -16,23 +20,23 @@ to the array dims):
   scales   [B, n_kv, T]            — int8-KV per-position scales, FLAT (a
     trailing size-1 lane dim is 128×-padded by XLA tiling — measured ~1.3
     ms/step of padded layout-conversion copies on the 8B decode trace).
-    The scale block spans all n_kv heads (valid last-two block dims); the
-    kernel selects row h with a one-hot sum and applies k-scales to the
-    score row / v-scales to the probability row LANE-wise — algebraically
-    identical to scaling K/V (the scale is constant along head_dim) and
-    cheaper than a sublane-broadcast multiply.
+    k-scales are applied to the score rows / v-scales to the probability
+    rows LANE-wise — algebraically identical to scaling K/V (the scale is
+    constant along head_dim) and cheaper than a sublane-broadcast multiply.
 
 Variants:
   * bf16 KV — `decode_attention`
   * int8 KV — `decode_attention_quantized` (dequantization fused; halves
     cache HBM traffic)
+  * `*_stacked` — read layer `l` of a [L, ...] stacked cache directly via a
+    scalar-prefetched index (no per-layer slice is ever materialized).
 
 Per-row valid lengths arrive via scalar prefetch, so rows of a continuous
 batch sit at different positions (the engine's per-slot decode). The
 sliding window is also a dynamic scalar (-1 = global), letting Gemma's
 alternating local/global layers share one compiled kernel inside the layer
-scan. Blocks entirely beyond a row's length (or before its window) are
-skipped before their DMA is issued.
+loop. KV blocks entirely beyond a row's length (or before its window) are
+skipped before their DMA is issued (`_block_clamp`).
 """
 
 from __future__ import annotations
@@ -52,23 +56,22 @@ LANES = 128
 def _decode_kernel(
     lengths_ref,   # SMEM [B]
     window_ref,    # SMEM [1] — sliding window, -1 = global attention
-    q_ref,         # [1, 1, groups, hd]
-    k_ref,         # [1, 1, block_t, hd]
+    q_ref,         # [1, n_kv, groups, hd]
+    k_ref,         # [1(,1), n_kv, block_t, hd]
     v_ref,
-    o_ref,         # [1, 1, groups, hd]
-    m_ref,         # VMEM [groups, LANES]
+    o_ref,         # [1, n_kv, groups, hd]
+    m_ref,         # VMEM [n_kv, groups, LANES]
     l_ref,
-    acc_ref,       # VMEM [groups, hd]
+    acc_ref,       # VMEM [n_kv, groups, hd]
     *,
     block_t: int,
     scale: float,
     quantized: bool,
-    k_scale_ref=None,  # [1, 1, block_t, 1]
+    k_scale_ref=None,  # [1(,1), n_kv, block_t]
     v_scale_ref=None,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    t = pl.program_id(2)
+    t = pl.program_id(1)
     length = lengths_ref[b]
     window = window_ref[0]
     is_global = window < 0
@@ -83,52 +86,51 @@ def _decode_kernel(
     in_range = start < length
     in_range &= is_global | (start + block_t > length - 1 - window)
 
-    def head_row(scale_ref):
-        # Scale blocks span all n_kv heads ([.., n_kv, block_t]); select
-        # kv-head h as a [1, block_t] lane vector with a one-hot sum.
-        all_heads = scale_ref[...].astype(jnp.float32)
-        all_heads = all_heads.reshape(all_heads.shape[-2:])
-        sel = jax.lax.broadcasted_iota(jnp.int32, all_heads.shape, 0) == h
-        return jnp.sum(jnp.where(sel, all_heads, 0.0), axis=0, keepdims=True)
+    nkv, groups, hd = q_ref.shape[-3:]
+
+    def scales_row(scale_ref):
+        sc = scale_ref[...].astype(jnp.float32)
+        return sc.reshape(nkv, 1, sc.shape[-1])  # [n_kv, 1, block_t]
 
     @pl.when(in_range)
     def _run():
-        # Blocks are rank 4 ([1,1,g,hd]) or rank 5 when the cache is stacked
-        # over layers ([1,1,1,bt,hd]); reshape to the 2-D tile either way.
-        q = q_ref[...].astype(jnp.float32).reshape(q_ref.shape[-2:])
-        k = k_ref[...].astype(jnp.float32).reshape(k_ref.shape[-2:])
+        q = q_ref[...].astype(jnp.float32).reshape(nkv, groups, hd)
+        k = k_ref[...].astype(jnp.float32).reshape(nkv, block_t, hd)
+        # All kv heads in one batched MXU call: [n_kv, groups, block_t].
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                  # [groups, block_t]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
         if quantized:
-            # k-scale is constant along head_dim → factors out of the dot;
-            # applying it to the score row is a lane-wise broadcast.
-            s = s * head_row(k_scale_ref)
+            s = s * scales_row(k_scale_ref)  # k-scale constant along hd
 
-        kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         ok = kv_pos < length
         ok &= is_global | (kv_pos > length - 1 - window)
         s = jnp.where(ok, s, MASK_VALUE)
 
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_ref[:, :, :1]
+        l_prev = l_ref[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)                    # [groups, block_t]
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_next)                    # [n_kv, groups, block_t]
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        v = v_ref[...].astype(jnp.float32).reshape(v_ref.shape[-2:])
+        v = v_ref[...].astype(jnp.float32).reshape(nkv, block_t, hd)
         if quantized:
-            p = p * head_row(v_scale_ref)  # v-scale constant along head_dim
-        o_curr = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            p = p * scales_row(v_scale_ref)  # v-scale constant along hd
+        o_curr = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         acc_ref[...] = acc_ref[...] * alpha + o_curr
 
-    @pl.when(t == pl.num_programs(2) - 1)
+    @pl.when(t == pl.num_programs(1) - 1)
     def _finish():
-        l = l_ref[:, :1]
+        l = l_ref[:, :, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[...] = (acc_ref[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape)
 
@@ -190,22 +192,20 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
     assert t_max % block_t == 0, (t_max, block_t)
     quantized = ks is not None
 
-    grid = (b, nkv, t_max // block_t)
+    grid = (b, t_max // block_t)
     # Heads are kv-major: head index = kv_head * groups + g.
     q4 = q.reshape(b, nkv, groups, hd)
 
-    def kv_map(bb, h, tt, lens, win):
-        return (bb, h, _block_clamp(tt, lens, win, bb, block_t), 0)
+    def kv_map(bb, tt, lens, win):
+        return (bb, 0, _block_clamp(tt, lens, win, bb, block_t), 0)
 
-    def scale_map(bb, h, tt, lens, win):
-        # Scale blocks span all n_kv heads (block dim = array dim — always a
-        # valid Mosaic last-two-dims shape); the kernel one-hot-selects row h.
+    def scale_map(bb, tt, lens, win):
         return (bb, 0, _block_clamp(tt, lens, win, bb, block_t))
 
     in_specs = [
-        pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
-        pl.BlockSpec((1, 1, block_t, hd), kv_map),
-        pl.BlockSpec((1, 1, block_t, hd), kv_map),
+        pl.BlockSpec((1, nkv, groups, hd), lambda bb, tt, *_: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, nkv, block_t, hd), kv_map),
+        pl.BlockSpec((1, nkv, block_t, hd), kv_map),
     ]
     args = [q4, k, v]
     if quantized:
@@ -217,7 +217,7 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
 
     if window is None:
         window_arr = jnp.full((1,), -1, jnp.int32)
-    else:  # python int or traced scalar (per-layer value inside a scan)
+    else:  # python int or traced scalar (per-layer value inside the loop)
         window_arr = jnp.asarray(window, jnp.int32).reshape(1)
 
     kernel = functools.partial(
@@ -230,15 +230,16 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, nkv, groups, hd),
+                                   lambda bb, tt, *_: (bb, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((groups, LANES), jnp.float32),
-                pltpu.VMEM((groups, LANES), jnp.float32),
-                pltpu.VMEM((groups, hd), jnp.float32),
+                pltpu.VMEM((nkv, groups, LANES), jnp.float32),
+                pltpu.VMEM((nkv, groups, LANES), jnp.float32),
+                pltpu.VMEM((nkv, groups, hd), jnp.float32),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), window_arr, *args)
@@ -282,19 +283,19 @@ def _decode_call_stacked(q, k, v, ks, vs, layer, lengths, *, scale, window,
     assert t_max % block_t == 0, (t_max, block_t)
     quantized = ks is not None
 
-    grid = (b, nkv, t_max // block_t)
+    grid = (b, t_max // block_t)
     q4 = q.reshape(b, nkv, groups, hd)
 
-    def kv_map(bb, h, tt, lens, win, lay):
-        return (lay[0], bb, h, _block_clamp(tt, lens, win, bb, block_t), 0)
+    def kv_map(bb, tt, lens, win, lay):
+        return (lay[0], bb, 0, _block_clamp(tt, lens, win, bb, block_t), 0)
 
-    def scale_map(bb, h, tt, lens, win, lay):
+    def scale_map(bb, tt, lens, win, lay):
         return (lay[0], bb, 0, _block_clamp(tt, lens, win, bb, block_t))
 
     in_specs = [
-        pl.BlockSpec((1, 1, groups, hd), lambda bb, h, tt, *_: (bb, h, 0, 0)),
-        pl.BlockSpec((1, 1, 1, block_t, hd), kv_map),
-        pl.BlockSpec((1, 1, 1, block_t, hd), kv_map),
+        pl.BlockSpec((1, nkv, groups, hd), lambda bb, tt, *_: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, 1, nkv, block_t, hd), kv_map),
+        pl.BlockSpec((1, 1, nkv, block_t, hd), kv_map),
     ]
     args = [q4, k, v]
     if quantized:
@@ -320,16 +321,16 @@ def _decode_call_stacked(q, k, v, ks, vs, layer, lengths, *, scale, window,
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, groups, hd),
-                                   lambda bb, h, tt, *_: (bb, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, nkv, groups, hd),
+                                   lambda bb, tt, *_: (bb, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((groups, LANES), jnp.float32),
-                pltpu.VMEM((groups, LANES), jnp.float32),
-                pltpu.VMEM((groups, hd), jnp.float32),
+                pltpu.VMEM((nkv, groups, LANES), jnp.float32),
+                pltpu.VMEM((nkv, groups, LANES), jnp.float32),
+                pltpu.VMEM((nkv, groups, hd), jnp.float32),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), window_arr, layer_arr, *args)

@@ -75,9 +75,17 @@ def harvest_corpus(max_train_mb: int = 192, max_eval_mb: int = 2):
     return tr, ev
 
 
-def make_config():
+def make_config(size: str = "10m"):
     from metalchat_tpu.config import LlamaConfig
 
+    if size == "50m":
+        # ~5x the 10M fixture: tests the "small models amplify quantization
+        # error" claim (QUALITY.md) by showing int4 ppl Δ shrink with scale.
+        return LlamaConfig(
+            vocab_size=VOCAB, hidden_size=768, intermediate_size=2304,
+            num_layers=10, num_heads=12, num_kv_heads=4, head_dim=64,
+            max_seq_len=1024, rope_theta=10000.0, tie_word_embeddings=False,
+        )
     return LlamaConfig(
         vocab_size=VOCAB, hidden_size=384, intermediate_size=1024,
         num_layers=6, num_heads=6, num_kv_heads=3, head_dim=64,
@@ -105,6 +113,7 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=50, help="steps per host sync")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="tests/fixtures/pyllama_10m")
+    ap.add_argument("--size", choices=["10m", "50m"], default="10m")
     args = ap.parse_args()
 
     import jax
@@ -116,7 +125,7 @@ def main() -> None:
         causal_lm_loss, combine, make_train_step, partition, trainable_full,
     )
 
-    cfg = make_config()
+    cfg = make_config(args.size)
     train_bytes, eval_bytes = harvest_corpus()
     train_data = np.frombuffer(train_bytes, np.uint8).astype(np.int32)
     eval_data = np.frombuffer(eval_bytes, np.uint8).astype(np.int32)
