@@ -102,12 +102,15 @@ def _block_overrides() -> dict:
 
 
 # Per-(out, k)-shape tuned blocks, measured end-to-end on v5e 8B decode
-# (r3 A/B: wo 4096x2048 @512 +1.8 tok/s, wqkv 6144x2048 @768 +3.1; combined
-# 170.4 -> 173.9). The narrow matvecs pipeline better with more grid steps;
-# the wide ones (w13/w2/lm_head) keep the ~4 MB default.
+# (r3 A/B, each vs the then-current default: wo@512 +1.8 tok/s, wqkv@768
+# +3.1, w13@1024 +2.3, w2@256 +1.4; stacked total 170.4 -> 182.8). Smaller
+# tiles = more grid steps = deeper DMA/compute pipelining; the effect is
+# shape-specific, hence a measured table rather than a formula.
 _TUNED = {
-    (4096, 2048): 512,   # wo (and any 4096-out, 4096-in packed int4)
-    (6144, 2048): 768,   # fused wqkv at 8B GQA dims
+    (4096, 2048): 512,    # wo (4096-out, 4096-in packed int4)
+    (6144, 2048): 768,    # fused wqkv at 8B GQA dims
+    (28672, 2048): 1024,  # fused gate/up (w13)
+    (4096, 7168): 256,    # w2 (down-projection)
 }
 
 

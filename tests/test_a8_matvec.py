@@ -79,9 +79,13 @@ def test_int4_identity_exact():
 
 
 def test_choose_block_out():
-    assert choose_block_out(28672, k=2048) == 2048
+    # Tuned-table shapes (measured end-to-end on v5e, see _TUNED).
+    assert choose_block_out(28672, k=2048) == 1024
+    assert choose_block_out(4096, k=7168) == 256
+    assert choose_block_out(4096, k=2048) == 512
+    assert choose_block_out(6144, k=2048) == 768
+    # Generic fallback: largest divisor fitting the tile budget.
     assert choose_block_out(14336, k=2048) == 2048
-    assert choose_block_out(4096, k=7168) == 512
     assert choose_block_out(128256, k=2048) == 768
     assert choose_block_out(384) == 384
     assert choose_block_out(100) is None

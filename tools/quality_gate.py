@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seq", type=int, default=512)
+    ap.add_argument("--out", default="QUALITY",
+                    help="output base name (QUALITY -> QUALITY.json/.md); "
+                         "use e.g. QUALITY_50m for the scale-sensitivity run")
     args = ap.parse_args()
 
     import jax
@@ -141,11 +144,14 @@ def main() -> None:
         "ppl": {k: round(v, 5) for k, v in results.items()},
         "ppl_delta_pct": {k: round(v, 4) for k, v in deltas.items()},
         "headline_scheme": headline,
-        "headline_ppl_delta_pct": round(deltas[headline], 4),
+        # The SHIPPED configuration is headline weights + int8 KV — report
+        # that as the headline delta (weights-only is its own row).
+        "headline_ppl_delta_pct": round(deltas["headline_int8kv"], 4),
+        "headline_weights_only_delta_pct": round(deltas[headline], 4),
         "awq_alpha": best_alpha,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "QUALITY.json"), "w") as fh:
+    with open(os.path.join(root, args.out + ".json"), "w") as fh:
         json.dump(quality, fh, indent=1)
 
     lines = [
@@ -182,7 +188,7 @@ def main() -> None:
         "above are therefore upper bounds for the 8B headline config, not",
         "estimates of it.",
     ]
-    with open(os.path.join(root, "QUALITY.md"), "w") as fh:
+    with open(os.path.join(root, args.out + ".md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps(quality))
 
