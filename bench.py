@@ -163,6 +163,9 @@ def main() -> None:
     parser.add_argument("--burst", type=int, default=16)
     parser.add_argument("--requests", type=int, default=24)
     parser.add_argument("--max-new", type=int, default=96)
+    parser.add_argument("--cache-mode", choices=["dense", "paged"],
+                        default="dense")
+    parser.add_argument("--page-size", type=int, default=128)
     parser.add_argument("--no-ttft", action="store_true",
                         help="skip the TTFT measurement in decode mode")
     parser.add_argument("--fuse", action=argparse.BooleanOptionalAction,
@@ -204,10 +207,12 @@ def main() -> None:
         from metalchat_tpu.engine.serving import ContinuousBatchingEngine, Request
 
         rng = random.Random(0)
+        paged_kw = ({"cache_mode": "paged", "page_size": args.page_size}
+                    if args.cache_mode == "paged" else
+                    {"quantized_kv": quantized_kv})
         engine = ContinuousBatchingEngine(
             params, cfg, max_slots=args.slots, max_seq_len=max_seq,
-            quantized_kv=quantized_kv, decode_burst=args.burst,
-            prefill_chunk=256,
+            decode_burst=args.burst, prefill_chunk=256, **paged_kw,
         )
         hi = min(640, max_seq - args.max_new - 8)
         lengths = [rng.randint(48, hi) for _ in range(args.requests)]
@@ -249,7 +254,8 @@ def main() -> None:
         bpt = bytes_per_token(cfg, params, quantized_kv, max_seq, args.slots)
         serve_roof = HBM_BW / bpt * args.slots
         print(json.dumps({
-            "metric": f"{args.config}_serve_sustained_tokens_per_sec",
+            "metric": (f"{args.config}_serve_{args.cache_mode}"
+                       "_sustained_tokens_per_sec"),
             "value": round(total / wall, 2),
             "unit": "tokens/s",
             "vs_baseline": round(total / wall / serve_roof, 4),

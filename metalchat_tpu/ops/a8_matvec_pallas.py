@@ -74,17 +74,34 @@ def _act_quantize_block(x):
     return xq, sx
 
 
-def _fused_kernel(acc_fn, out_dtype):
+def _fused_kernel(acc_fn, out_dtype, norm_eps=None, norm_offset=0.0):
     """bf16-in/bf16-out variant: per-token dynamic int8 quantization of x and
     the (sx ⊗ s_col) post-scale run INSIDE the kernel. The VPU work is on
     [B, in] / [B, block_out] rows — negligible next to the weight-tile DMA —
-    and it removes ~3 XLA dispatches per matvec from the decode loop."""
-    def kernel(l_ref, x_ref, p_ref, s_ref, out_ref):
-        xq, sx = _act_quantize_block(x_ref[:].astype(jnp.float32))
+    and it removes ~3 XLA dispatches per matvec from the decode loop.
+
+    With norm_eps set, the input rmsnorm runs in the prologue too (same
+    f32-stats → bf16-round sequence as ops.xla.rms_norm, so the result is
+    bit-identical to norm-outside + kernel): two more XLA dispatches per
+    layer gone."""
+    def kernel(l_ref, x_ref, p_ref, s_ref, out_ref, nw_ref=None):
+        x = x_ref[:].astype(jnp.float32)
+        if norm_eps is not None:
+            var = jnp.mean(jnp.square(x), axis=1, keepdims=True)
+            normed = x * jax.lax.rsqrt(var + norm_eps)
+            w = norm_offset + nw_ref[...].astype(jnp.float32).reshape(1, -1)
+            # Round through the activation dtype exactly like the XLA path.
+            x = (normed * w).astype(out_dtype).astype(jnp.float32)
+        xq, sx = _act_quantize_block(x)
         acc = acc_fn(xq, p_ref[0])
         s_col = s_ref[0].reshape(1, -1).astype(jnp.float32)
         out_ref[:] = (acc.astype(jnp.float32) * sx * s_col).astype(out_dtype)
-    return kernel
+
+    if norm_eps is None:
+        return lambda l_ref, x_ref, p_ref, s_ref, out_ref: kernel(
+            l_ref, x_ref, p_ref, s_ref, out_ref)
+    return lambda l_ref, x_ref, p_ref, s_ref, nw_ref, out_ref: kernel(
+        l_ref, x_ref, p_ref, s_ref, out_ref, nw_ref)
 
 
 def _block_overrides() -> dict:
@@ -174,7 +191,8 @@ def quant_matvec_stacked(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bits", "block_out", "interpret"))
+                   static_argnames=("bits", "block_out", "interpret",
+                                    "norm_eps", "norm_offset"))
 def quant_matvec_stacked_fused(
     x: jax.Array,         # bf16/f32 [B, in] — UNquantized activations
     p_stack: jax.Array,   # int8 [L, out, in] (bits=8) / [L, out, in//2] (bits=4)
@@ -186,6 +204,10 @@ def quant_matvec_stacked_fused(
     bits: int,
     block_out: Optional[int] = None,
     interpret: bool = False,
+    norm_stack: Optional[jax.Array] = None,  # [L, in] rmsnorm weights —
+                                             # fuses the pre-norm in-kernel
+    norm_eps: Optional[float] = None,
+    norm_offset: float = 0.0,
 ) -> jax.Array:
     """`quant_matvec_stacked` with activation quantization and the
     (sx ⊗ s_col) post-scale fused into the kernel: takes bf16 activations,
@@ -200,15 +222,27 @@ def quant_matvec_stacked_fused(
     assert s_stack.shape == (L, 1, out), (s_stack.shape, p_stack.shape)
     bo = block_out or choose_block_out(out, k)
     assert bo is not None and out % bo == 0, (out, block_out)
-    kernel = _fused_kernel(_int_acc_w4 if bits == 4 else _int_acc_w8, x.dtype)
+    fuse_norm = norm_stack is not None
+    kernel = _fused_kernel(_int_acc_w4 if bits == 4 else _int_acc_w8, x.dtype,
+                           norm_eps=norm_eps if fuse_norm else None,
+                           norm_offset=norm_offset)
+    in_specs = [
+        pl.BlockSpec((b, in_f), lambda j, l: (0, 0)),
+        pl.BlockSpec((1, bo, k), lambda j, l: (l[0], j, 0)),
+        pl.BlockSpec((1, 1, bo), lambda j, l: (l[0], 0, j)),
+    ]
+    args = [jnp.asarray(layer, jnp.int32).reshape(1), x, p_stack, s_stack]
+    if fuse_norm:
+        assert norm_stack.shape == (L, in_f), (norm_stack.shape, (L, in_f))
+        assert norm_eps is not None
+        # [L, 1, in]: a (1, 1, in) block has valid last-two dims (1 = the
+        # array's own middle dim); (1, in) on [L, in] would not.
+        in_specs.append(pl.BlockSpec((1, 1, in_f), lambda j, l: (l[0], 0, 0)))
+        args.append(norm_stack[:, None, :])
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(out // bo,),
-        in_specs=[
-            pl.BlockSpec((b, in_f), lambda j, l: (0, 0)),
-            pl.BlockSpec((1, bo, k), lambda j, l: (l[0], j, 0)),
-            pl.BlockSpec((1, 1, bo), lambda j, l: (l[0], 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b, bo), lambda j, l: (0, j)),
     )
     return pl.pallas_call(
@@ -219,4 +253,4 @@ def quant_matvec_stacked_fused(
             vmem_limit_bytes=96 << 20,
         ),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, p_stack, s_stack)
+    )(*args)

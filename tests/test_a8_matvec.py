@@ -89,3 +89,28 @@ def test_choose_block_out():
     assert choose_block_out(128256, k=2048) == 768
     assert choose_block_out(384) == 384
     assert choose_block_out(100) is None
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_fused_norm_matches_norm_outside(bits):
+    """The in-kernel rmsnorm prologue is bit-identical to ops.rms_norm
+    outside + the plain fused kernel (same f32 stats, same bf16 rounding)."""
+    from metalchat_tpu.ops import xla as xops
+
+    rng = np.random.default_rng(5)
+    in_f, out_f, L = 512, 768, 2
+    k = in_f // 2 if bits == 4 else in_f
+    p = jnp.asarray(rng.integers(-128, 128, (L, out_f, k), dtype=np.int8))
+    s = jnp.asarray(rng.random((L, 1, out_f), dtype=np.float32) * 0.1)
+    nw = jnp.asarray(rng.random((L, in_f), dtype=np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((2, in_f)), jnp.bfloat16)
+    for mu in (0.0, 1.0):
+        for l in range(L):
+            h = xops.rms_norm(x, nw[l], eps=1e-5, offset=mu)
+            want = quant_matvec_stacked_fused(h, p, s, l, bits=bits,
+                                              block_out=256, interpret=True)
+            got = quant_matvec_stacked_fused(
+                x, p, s, l, bits=bits, block_out=256, interpret=True,
+                norm_stack=nw, norm_eps=1e-5, norm_offset=mu)
+            np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                          np.asarray(want, np.float32))
