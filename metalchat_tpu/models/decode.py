@@ -119,8 +119,14 @@ def supports_fast_decode(params: Dict[str, Any], cache, config: ModelConfig,
                          tokens: jax.Array) -> bool:
     from metalchat_tpu.cache import PagedKVCache
 
+    # Multi-token windows up to 16 ride the same stacked-matvec path with
+    # rows flattened to [B*s] (weights are still read once per window, so a
+    # speculative-verify window costs ~one decode step instead of the XLA
+    # prefill path's fused-dequant matmuls at half the bandwidth); decode
+    # attention takes the XLA branch for s > 1. Larger windows are MXU
+    # territory — the flash-attention prefill path wins there.
     return (
-        tokens.shape[1] == 1
+        tokens.shape[1] <= 16
         and not isinstance(cache, PagedKVCache)
         and not config.num_experts
     )
@@ -133,12 +139,17 @@ def decode_step(
     start_pos: jax.Array,  # scalar or [B]
     config: ModelConfig,
 ):
-    """One single-token step; same contract as `forward` at S == 1."""
+    """One decode step over a short window; same contract as `forward`.
+
+    s == 1 is the per-token hot path (Pallas attention kernels); 1 < s ≤ 16
+    is the speculative-verify / chunked-decode window — matvecs flatten the
+    window into [B·s] rows through the SAME stacked Pallas kernels (one
+    weight read per window), attention takes the XLA branch with a causal
+    window mask."""
     b, s = tokens.shape
-    assert s == 1
     start_pos = jnp.asarray(start_pos, jnp.int32)
     offsets = start_pos if start_pos.ndim == 1 else jnp.broadcast_to(start_pos, (b,))
-    positions = offsets[:, None]
+    positions = offsets[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 
     layers = params["layers"]
     rope = params.get("rope", {})
@@ -153,12 +164,12 @@ def decode_step(
         x = x * jnp.asarray(config.embedding_scale, x.dtype)
     if config.position_embedding == "learned":
         x = x + params["pos_emb"][positions].astype(x.dtype)
-    x = x[:, 0]  # [B, H] — the loop works 2-D; matvecs want flat rows
+    x = x.reshape(b * s, -1)  # flat rows — matvecs are row-independent
 
-    # Rope rows for this position, gathered once (selected per layer for
-    # Gemma's local/global alternation).
+    # Rope rows for the window's positions, gathered once (selected per
+    # layer for Gemma's local/global alternation).
     if config.position_embedding == "rope":
-        cos_g = rope["cos"][positions]  # [B, 1, hd/2]
+        cos_g = rope["cos"][positions]  # [B, s, hd/2]
         sin_g = rope["sin"][positions]
         cos_l = rope.get("cos_local")
         cos_l = cos_l[positions] if cos_l is not None else None
@@ -185,8 +196,8 @@ def decode_step(
             return y + _slice_layer(layers[name], l)
         return y
 
-    use_kernel_attn = use_pallas() and kv_len % min(256, kv_len) == 0 and \
-        kv_len >= 128
+    use_kernel_attn = s == 1 and use_pallas() and \
+        kv_len % min(256, kv_len) == 0 and kv_len >= 128
 
     fuse_norms = use_pallas() and config.norm_type != "layernorm"
 
@@ -196,7 +207,8 @@ def decode_step(
         def norm_linear(x_res, name, norm_name, cache={}):
             """layers[name] @ rmsnorm(x_res): the pre-norm runs INSIDE the
             Pallas matvec when the leaf qualifies (same f32 stats + bf16
-            rounding — bit-identical to norm-outside; ~60 µs/step of norm
+            rounding as norm-outside, up to ±1 ulp of reduction-order noise
+            in the mean — tools/validate_kernels.py; ~60 µs/step of norm
             dispatches gone at 8B). Ineligible leaves fall back to one
             shared normed activation."""
             leaf = layers[name]
@@ -217,9 +229,9 @@ def decode_step(
             q = biased(norm_linear(x, "wq", "attn_norm"), "wq_b", l)
             k = biased(norm_linear(x, "wk", "attn_norm"), "wk_b", l)
             v = biased(norm_linear(x, "wv", "attn_norm"), "wv_b", l)
-        q = q.reshape(b, 1, nh, hd)
-        k = k.reshape(b, 1, nkv, hd)
-        v = v.reshape(b, 1, nkv, hd)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
 
         if config.use_qk_norm:
             q = ops.rms_norm(q, _slice_layer(layers["q_norm"], l), eps=eps, offset=mu)
@@ -246,7 +258,7 @@ def decode_step(
         else:
             new_leaves = update_stacked_layer_cache(*leaves, k, v, l, start_pos)
 
-        lengths = offsets + 1
+        lengths = offsets + s
         if use_kernel_attn:
             block_t = min(256, kv_len)
             if quantized:
@@ -271,9 +283,9 @@ def decode_step(
                 sliding = ops.causal_mask(positions, kv_len, valid,
                                           config.sliding_window)
                 mask = jnp.where(is_global[l], mask, sliding)
-            attn = ops.attention(q, keys, values, mask, scale=scale)[:, 0]
+            attn = ops.attention(q, keys, values, mask, scale=scale)
 
-        attn = biased(_linear_l(attn.reshape(b, nh * hd), layers["wo"], l),
+        attn = biased(_linear_l(attn.reshape(b * s, nh * hd), layers["wo"], l),
                       "wo_b", l)
         if config.use_post_norms:
             attn = ops.rms_norm(attn, _slice_layer(layers["post_attn_norm"], l),
@@ -309,7 +321,7 @@ def decode_step(
         x = ops.layer_norm(x, params["final_norm"], params["final_norm_b"], eps=eps)
     else:
         x = ops.rms_norm(x, params["final_norm"], eps=eps, offset=mu)
-    logits = _lm_head(x, params["lm_head"]).astype(jnp.float32)[:, None]
+    logits = _lm_head(x, params["lm_head"]).astype(jnp.float32).reshape(b, s, -1)
 
     if quantized:
         new_cache = QuantizedKVCache(*leaves)

@@ -324,8 +324,6 @@ def forward(
     """
     b, s = tokens.shape
     start_pos = jnp.asarray(start_pos, jnp.int32)
-    if start_pos.ndim == 1 and s > 1:
-        raise ValueError("per-row start_pos requires S == 1 (decode step)")
 
     from metalchat_tpu.models.decode import decode_step, supports_fast_decode
 
@@ -335,6 +333,13 @@ def forward(
         if with_aux:
             return logits, new_cache, jnp.zeros((), jnp.float32)
         return logits, new_cache
+    if start_pos.ndim == 1 and s > 1:
+        # The scan path writes all rows at one shared offset; per-row
+        # multi-token windows are a fast-path feature (decode_step scatters
+        # rows at per-row offsets — tests/test_decode_path.py).
+        raise ValueError(
+            "per-row start_pos with S > 1 needs the decode fast path "
+            "(dense cache, S <= 16)")
     offsets = start_pos if start_pos.ndim == 1 else jnp.broadcast_to(start_pos, (b,))
     positions = offsets[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 

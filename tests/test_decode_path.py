@@ -115,3 +115,72 @@ def test_per_row_start_pos():
     for xa, xb in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _window_both(params, cfg, cache_cls, s=5, batch=2, prefill=20):
+    """Prefill via the scan path (> 16 tokens), then one s-token window
+    through both paths — the speculative-verify shape."""
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, prefill)),
+                         jnp.int32)
+    kw = {"dtype": jnp.float32} if cache_cls is KVCache else {}
+    cache = cache_cls.create(cfg, batch, cfg.max_seq_len, **kw)
+    _, cache = forward(params, cache, prompt, 0, cfg)
+    win = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, s)), jnp.int32)
+    la, ca = forward(params, cache, win, prefill, cfg, fast_decode=True)
+    lb, cb = forward(params, cache, win, prefill, cfg, fast_decode=False)
+    assert la.shape == (batch, s, cfg.vocab_size)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=3e-4, atol=3e-4)
+    for xa, xb in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_multitoken_window_w4a8_matches_scan():
+    cfg = llama_cfg()
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    qp = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                         quantize_lm_head=True)
+    _window_both(qp, cfg, QuantizedKVCache)
+
+
+def test_multitoken_window_dense_matches_scan():
+    _cfg = llama_cfg()
+    params = init_random_params(_cfg, dtype=jnp.float32, max_seq_len=128)
+    _window_both(params, _cfg, KVCache)
+
+
+def test_multitoken_window_gemma_sliding():
+    cfg = Gemma3Config(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
+        max_seq_len=128, sliding_window=16, sliding_window_pattern=2,
+        rope_local_theta=10000.0, tie_word_embeddings=False)
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    _window_both(params, cfg, KVCache, s=7, prefill=24)
+
+
+def test_multitoken_window_per_row_start_pos():
+    """Per-row offsets with S > 1 are a fast-path-only feature; the
+    reference is each row run separately through the scan path at its own
+    scalar offset."""
+    cfg = llama_cfg()
+    params = init_random_params(cfg, dtype=jnp.float32, max_seq_len=128)
+    rng = np.random.default_rng(4)
+    tok = jnp.asarray(rng.integers(1, 512, (3, 4)), jnp.int32)
+    cache = KVCache.create(cfg, 3, 128, dtype=jnp.float32)
+    pos = jnp.asarray([5, 9, 2], jnp.int32)
+    la, ca = forward(params, cache, tok, pos, cfg, fast_decode=True)
+    for r in range(3):
+        row_cache = KVCache.create(cfg, 1, 128, dtype=jnp.float32)
+        lb, cb = forward(params, row_cache, tok[r : r + 1], int(pos[r]), cfg,
+                         fast_decode=False)
+        np.testing.assert_allclose(np.asarray(la[r]), np.asarray(lb[0]),
+                                   rtol=2e-4, atol=2e-4)
+        # The row's KV slice must match the solo run's (other rows differ —
+        # the solo cache never saw them).
+        for xa, xb in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
+            np.testing.assert_allclose(
+                np.asarray(xa[:, r : r + 1]), np.asarray(xb),
+                rtol=2e-4, atol=2e-4)
