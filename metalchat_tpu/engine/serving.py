@@ -198,6 +198,12 @@ class ContinuousBatchingEngine:
         self._completions: Dict[int, Completion] = {}
         self.meter = Meter()
         self.meter.start()
+        # Dispatch accounting: every decode dispatch costs one host-synced
+        # round trip (~28 ms through the axon tunnel), so sustained serving
+        # throughput is ~ tokens-per-decode-dispatch / round-trip. Exposed in
+        # metrics() to make burst behavior observable in benches.
+        self.counters = {"prefill_dispatches": 0, "decode_dispatches": 0,
+                         "decode_steps": 0, "decode_row_steps": 0}
 
         cfg = config
         fwd = self._forward
@@ -363,6 +369,7 @@ class ContinuousBatchingEngine:
         self.meter.stop()
         out = self.meter.summary()
         self.meter.start()
+        out.update(self.counters)
         return out
 
     def completion(self, request_id: int) -> Completion:
@@ -454,6 +461,7 @@ class ContinuousBatchingEngine:
 
     def _prefill_one(self, slot_id: int, slot: _Slot) -> List[Tuple[int, int]]:
         prompt = list(slot.request.prompt)
+        self.counters["prefill_dispatches"] += 1
         self._flush_page_table()
         if (self.cp_mesh is not None and slot.prefill_cursor == 0
                 and len(prompt) >= self.cp_threshold):
@@ -526,6 +534,9 @@ class ContinuousBatchingEngine:
         if not active:
             return emitted_oom
         steps = self._burst_steps(active)
+        self.counters["decode_dispatches"] += 1
+        self.counters["decode_steps"] += steps
+        self.counters["decode_row_steps"] += steps * len(active)
         self._flush_page_table()
         self._key, sub = jax.random.split(self._key)
         if steps == 1:
@@ -560,16 +571,37 @@ class ContinuousBatchingEngine:
         """How many decode steps to run in one dispatch.
 
         Bounded by the per-row generation budgets (no row runs past its
-        max_new_tokens or the cache end), page availability (paged mode),
-        and pending work (bursting would delay a waiting prompt chunk).
-        Rounded down to a power of two to bound recompilation."""
+        max_new_tokens or the cache end) and page availability (paged mode).
+        Rounded down to a power of two to bound recompilation.
+
+        Bursts stay enabled while other slots are mid-prefill: the burst
+        program pins non-decoding rows at their frontier (advance=0), so the
+        ride-along invariant holds for any number of steps, and fairness to
+        waiting prompts is already the prefill_interleave counter's job. The
+        old rule (burst=1 whenever any slot was prefilling) collapsed mixed
+        load to one host-synced dispatch per token — under continuous
+        admission that is nearly the whole run (~29 ms/token through the
+        tunnel, the entire r2 config-4 shortfall)."""
         limit = self.decode_burst
-        if limit <= 1 or any(not s.decoding for s in self._slots.values()):
+        if limit <= 1:
             return 1
+        # Cache room is a hard bound (no OOB writes); per-row token budgets
+        # are NOT — a row at its max_new_tokens finishes mid-burst exactly
+        # like an EOS row (host drops its surplus tokens, its surplus KV
+        # writes stay inside its own slot and are masked by per-row lengths).
+        # min-ing over budgets let one nearly-done row collapse the whole
+        # batch's burst to 1 host-synced step. Decode compute is weight-read
+        # bound, so surplus row-steps ride along nearly free; skip the burst
+        # only when EVERY row would waste most of it.
         for slot_id in active:
             slot = self._slots[slot_id]
-            budget = slot.request.max_new_tokens - len(slot.completion.tokens)
-            limit = min(limit, budget, self.max_seq_len - slot.pos)
+            limit = min(limit, self.max_seq_len - slot.pos)
+        max_budget = max(
+            self._slots[s].request.max_new_tokens
+            - len(self._slots[s].completion.tokens)
+            for s in active
+        )
+        limit = min(limit, max_budget)
         if self.paged:
             mps = self._host_pt.shape[1]
             for slot_id in active:
