@@ -81,9 +81,11 @@ def _fused_kernel(acc_fn, out_dtype, norm_eps=None, norm_offset=0.0):
     and it removes ~3 XLA dispatches per matvec from the decode loop.
 
     With norm_eps set, the input rmsnorm runs in the prologue too (same
-    f32-stats → bf16-round sequence as ops.xla.rms_norm, so the result is
-    bit-identical to norm-outside + kernel): two more XLA dispatches per
-    layer gone."""
+    f32-stats → bf16-round sequence as ops.xla.rms_norm): two more XLA
+    dispatches per layer gone. On chip the f32 mean reduces in a different
+    order than XLA's (±1 ulp in var — measured, tools/validate_kernels.py),
+    which can flip borderline bf16/int8 rounds — one-quantum scheme noise;
+    the act-quant and integer stages below are bit-exact vs interpret."""
     def kernel(l_ref, x_ref, p_ref, s_ref, out_ref, nw_ref=None):
         x = x_ref[:].astype(jnp.float32)
         if norm_eps is not None:
@@ -213,9 +215,11 @@ def quant_matvec_stacked_fused(
     (sx ⊗ s_col) post-scale fused into the kernel: takes bf16 activations,
     returns bf16/f32 [B, out]. Numerically identical to
     `_act_quantize` + `quant_matvec_stacked` + XLA post-scale (same ops,
-    same order — tests/test_a8_matvec.py), but saves ~3 XLA dispatches per
-    matvec, which at 4 matvecs × n_layers dominates the decode step's
-    non-HBM residual."""
+    same order — tests/test_a8_matvec.py; bit-exact on chip vs interpret,
+    tools/validate_kernels.py — the optional norm prologue alone carries
+    ±1-ulp reduction-order noise), but saves ~3 XLA dispatches per matvec,
+    which at 4 matvecs × n_layers dominates the decode step's non-HBM
+    residual."""
     L, out, k = p_stack.shape
     b, in_f = x.shape
     assert k * (2 if bits == 4 else 1) == in_f, (p_stack.shape, x.shape)
