@@ -42,8 +42,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _marginal_ms(fn, r_lo=2, r_hi=8, tries=3) -> float:
-    """Wall of fn(reps) marginal between two repeat counts, in ms/rep."""
+def _marginal_ms(fn, r_lo=16, r_hi=112, tries=3) -> float:
+    """Wall of fn(reps) marginal between two repeat counts, in ms/rep.
+
+    r_hi - r_lo must be large enough that the compute delta dominates the
+    tunnel's ~25 ms dispatch jitter (bench.py uses 16 vs 144 steps)."""
     def wall(r):
         t0 = time.perf_counter()
         np.asarray(fn(r))
@@ -119,7 +122,7 @@ def main() -> None:
 
     n = args.n_draft
     vfn = _verify_fn(tparams, tcfg, n)
-    t_verify = _marginal_ms(lambda r: vfn(tparams, r))
+    t_verify = _marginal_ms(lambda r: vfn(tparams, r), r_lo=8, r_hi=56)
     print(f"t_verify (8B over {n}-token window): {t_verify:.2f} ms", flush=True)
 
     # Per-round host sync: one tiny dispatch round-trip, measured directly.

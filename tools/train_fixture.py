@@ -114,7 +114,15 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="tests/fixtures/pyllama_10m")
     ap.add_argument("--size", choices=["10m", "50m"], default="10m")
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="rematerialize layer activations in backward "
+                         "(default: on for 50m — without it the 10-layer "
+                         "scan saves [L,B,H,S,S] f32 attention temporaries "
+                         "and overflows the 16G HBM)")
     args = ap.parse_args()
+    if args.remat is None:
+        args.remat = args.size == "50m"
 
     import jax
     import jax.numpy as jnp
@@ -140,7 +148,7 @@ def main() -> None:
         end_value=args.lr * 0.1)
     opt = optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=0.01)
     trainable, frozen, spec = partition(params, trainable_full)
-    init_state, step_fn = make_train_step(cfg, opt, spec, remat=False)
+    init_state, step_fn = make_train_step(cfg, opt, spec, remat=args.remat)
     state = init_state(trainable)
 
     @jax.jit
