@@ -4,8 +4,16 @@ The TPU-native paged attention: physical KV pages are non-contiguous in HBM
 and each sequence addresses them through a page table. Rather than manual
 per-page DMA descriptors, the page lookup happens in the **BlockSpec
 index_map**, which receives the scalar-prefetched page table: grid step
-(b, h, i) DMAs exactly page ``page_table[b, i]`` — Pallas' pipelining then
+(b, i) DMAs exactly page ``page_table[b, i]`` — Pallas' pipelining then
 double-buffers page fetches against compute automatically.
+
+ALL kv heads run in one grid step as a batched ``dot_general`` (the same
+heads-batching that took the dense kernel from 315 → 77 µs/step on the 8B
+trace — a (b, h, i) grid pays ~10 µs of per-grid-step overhead per head).
+Logical page indices are clamped to the row's live ``[window_lo, length)``
+page range before the table lookup, so out-of-range steps repeat the
+boundary page and Mosaic skips their DMA entirely (mirrors
+decode_attention_pallas._block_clamp).
 
 Online-softmax accumulation, per-row lengths, GQA group batching, dynamic
 sliding window, and fused int8 dequantization all match
@@ -30,22 +38,21 @@ def _paged_kernel(
     pt_ref,        # SMEM [B, MP] page table
     lengths_ref,   # SMEM [B]
     window_ref,    # SMEM [1] — -1 = global
-    q_ref,         # [1, 1, groups, hd]
-    k_ref,         # [1, 1, psize, hd]  (page selected by index_map)
+    q_ref,         # [1, n_kv, groups, hd]
+    k_ref,         # [n_kv, 1, psize, hd]  (page selected by index_map)
     v_ref,
     ks_ref,        # [1, n_kv, psize] — whole page's scales, all heads (a
     vs_ref,        #   trailing size-1 lane dim would be 128×-padded)
-    o_ref,         # [1, 1, groups, hd]
-    m_ref,
+    o_ref,         # [1, n_kv, groups, hd]
+    m_ref,         # VMEM [n_kv, groups, LANES]
     l_ref,
-    acc_ref,
+    acc_ref,       # VMEM [n_kv, groups, hd]
     *,
     page_size: int,
     scale: float,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    i = pl.program_id(2)
+    i = pl.program_id(1)
     length = lengths_ref[b]
     window = window_ref[0]
     is_global = window < 0
@@ -60,46 +67,64 @@ def _paged_kernel(
     in_range = start < length
     in_range &= is_global | (start + page_size > length - 1 - window)
 
-    def head_row(scale_ref):
-        # [1, n_kv, psize] → kv-head h's scales as a [1, psize] lane vector.
-        all_heads = scale_ref[0].astype(jnp.float32)
-        sel = jax.lax.broadcasted_iota(jnp.int32, all_heads.shape, 0) == h
-        return jnp.sum(jnp.where(sel, all_heads, 0.0), axis=0, keepdims=True)
+    nkv, groups, hd = q_ref.shape[-3:]
+
+    def scales_row(scale_ref):
+        sc = scale_ref[...].astype(jnp.float32)
+        return sc.reshape(nkv, 1, sc.shape[-1])  # [n_kv, 1, psize]
 
     @pl.when(in_range)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)                      # [groups, hd]
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[...].astype(jnp.float32).reshape(nkv, groups, hd)
+        k = k_ref[...].astype(jnp.float32).reshape(nkv, page_size, hd)
+        # All kv heads in one batched MXU call: [n_kv, groups, psize].
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                                # [groups, psize]
-        s = s * head_row(ks_ref)  # k-scale constant along hd → post-dot
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s * scales_row(ks_ref)  # k-scale constant along hd → post-dot
 
-        kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         ok = kv_pos < length
         ok &= is_global | (kv_pos > length - 1 - window)
         s = jnp.where(ok, s, MASK_VALUE)
 
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_ref[:, :, :1]
+        l_prev = l_ref[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_next)                    # [n_kv, groups, psize]
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        v = v_ref[0, 0].astype(jnp.float32)
-        acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-            p * head_row(vs_ref), v, preferred_element_type=jnp.float32
+        v = v_ref[...].astype(jnp.float32).reshape(nkv, page_size, hd)
+        o_curr = jax.lax.dot_general(
+            p * scales_row(vs_ref), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
+        acc_ref[...] = acc_ref[...] * alpha + o_curr
 
-    @pl.when(i == pl.num_programs(2) - 1)
+    @pl.when(i == pl.num_programs(1) - 1)
     def _finish():
-        l = l_ref[:, :1]
+        l = l_ref[:, :, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        o_ref[...] = (acc_ref[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape)
+
+
+def _page_clamp(i, pt, lens, win, bb, psize, limit):
+    """Clamp grid step i to the row's live page range, then look up the page.
+
+    Out-of-range steps (past the row's length, or wholly below its sliding
+    window) repeat a boundary page index, so Mosaic skips their DMA; the
+    kernel's `in_range` predicate skips the compute. Sentinel/corrupt table
+    entries are additionally clamped to a valid physical page."""
+    length = lens[bb]
+    upper = jnp.maximum(length - 1, 0) // psize
+    low = jnp.where(win[0] < 0, 0,
+                    jnp.maximum(length - 1 - win[0], 0) // psize)
+    return jnp.minimum(pt[bb, jnp.clip(i, low, upper)], limit)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -129,12 +154,11 @@ def paged_decode_attention(
 
     limit = num_pages - 1
 
-    def page_map(bb, h, i, pt, lens, win):
-        # Clamp sentinel/out-of-range entries to a valid page; masked anyway.
-        return (h, jnp.minimum(pt[bb, i], limit), 0, 0)
+    def page_map(bb, i, pt, lens, win):
+        return (0, _page_clamp(i, pt, lens, win, bb, psize, limit), 0, 0)
 
-    def scales_map(bb, h, i, pt, lens, win):
-        return (jnp.minimum(pt[bb, i], limit), 0, 0)
+    def scales_map(bb, i, pt, lens, win):
+        return (_page_clamp(i, pt, lens, win, bb, psize, limit), 0, 0)
 
     kernel = functools.partial(_paged_kernel, page_size=psize, scale=scale)
     out = pl.pallas_call(
@@ -142,23 +166,24 @@ def paged_decode_attention(
         out_shape=jax.ShapeDtypeStruct((b, n_kv, groups, hd), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b, n_kv, mp),
+            grid=(b, mp),
             in_specs=[
-                pl.BlockSpec((1, 1, groups, hd), lambda bb, h, i, *_: (bb, h, 0, 0)),
-                pl.BlockSpec((1, 1, psize, hd), page_map),
-                pl.BlockSpec((1, 1, psize, hd), page_map),
+                pl.BlockSpec((1, n_kv, groups, hd), lambda bb, i, *_: (bb, 0, 0, 0)),
+                pl.BlockSpec((n_kv, 1, psize, hd), page_map),
+                pl.BlockSpec((n_kv, 1, psize, hd), page_map),
                 pl.BlockSpec((1, n_kv, psize), scales_map),
                 pl.BlockSpec((1, n_kv, psize), scales_map),
             ],
-            out_specs=pl.BlockSpec((1, 1, groups, hd), lambda bb, h, i, *_: (bb, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, n_kv, groups, hd),
+                                   lambda bb, i, *_: (bb, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((groups, LANES), jnp.float32),
-                pltpu.VMEM((groups, LANES), jnp.float32),
-                pltpu.VMEM((groups, hd), jnp.float32),
+                pltpu.VMEM((n_kv, groups, LANES), jnp.float32),
+                pltpu.VMEM((n_kv, groups, LANES), jnp.float32),
+                pltpu.VMEM((n_kv, groups, hd), jnp.float32),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), window_arr,
