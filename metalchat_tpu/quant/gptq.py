@@ -124,6 +124,26 @@ def gptq_rounding(
     return q_out.astype(np.int8)
 
 
+def _refit_scales(w: np.ndarray, q: np.ndarray, hessian: np.ndarray,
+                  scales: np.ndarray) -> np.ndarray:
+    """Least-squares per-channel scale refit under the calibration Hessian.
+
+    Given fixed integer codes q, the layer-output error for channel c is
+    (w_c - s·q_c)ᵀ H (w_c - s·q_c), minimized at s* = q_cᵀHw_c / q_cᵀHq_c.
+    The initial scales were chosen for round-to-nearest MSE BEFORE the GPTQ
+    compensation shifted the effective weights — refitting after rounding
+    recovers that mismatch. Only ever applied before a re-round or as the
+    final step, so the compensation always matches the scales in use."""
+    H = np.asarray(hessian, np.float64)
+    hq = H @ q
+    num = np.einsum("io,io->o", q, H @ w)
+    den = np.einsum("io,io->o", q, hq)
+    good = den > 0
+    out = np.where(good, num / np.where(good, den, 1.0), scales)
+    # A refit scale ≤0 (degenerate channel) would flip signs — keep the old.
+    return np.where(out > 0, out, scales)
+
+
 def gptq_quantize(
     w: np.ndarray | jax.Array,   # [in, out] dense weight
     hessian: np.ndarray,         # [in, in]
@@ -133,16 +153,28 @@ def gptq_quantize(
     clip_search: bool = True,
     act_order: bool = True,
     damp: float = 0.01,
+    refit_iters: int = 0,
     scales_dtype=jnp.float32,
 ) -> QuantizedTensor:
     """GPTQ-quantize one [in, out] weight to a per-channel QuantizedTensor
-    (drop-in for `quantize(..., group_size=None)` on the same MXU path)."""
+    (drop-in for `quantize(..., group_size=None)` on the same MXU path).
+
+    refit_iters > 0 alternates compensated rounding with the Hessian
+    least-squares scale refit (round → refit → round …), ending on a final
+    refit (which is exactly optimal given the fixed codes; the re-round
+    half-step is the usual GPTQ heuristic)."""
     w = np.asarray(w, np.float64)
     in_features, out_features = w.shape
     qmax = 127.0 if bits == 8 else 7.0
     scales = _channel_scales(w, qmax, clip_search)
     q = gptq_rounding(w, scales, hessian, qmax=qmax, act_order=act_order,
                       damp=damp)
+    for _ in range(refit_iters):
+        scales = _refit_scales(w, q.astype(np.float64), hessian, scales)
+        q = gptq_rounding(w, scales, hessian, qmax=qmax,
+                          act_order=act_order, damp=damp)
+    if refit_iters:
+        scales = _refit_scales(w, q.astype(np.float64), hessian, scales)
     if bits == 4:
         q = _pack_int4(q)
     return auto_orient(QuantizedTensor(
@@ -166,6 +198,7 @@ def gptq_quantize_params(
     clip_search: bool = True,
     act_order: bool = True,
     damp: float = 0.01,
+    refit_iters: int = 0,
     targets=("wq", "wk", "wv", "wo", "w1", "w2", "w3"),
 ) -> Dict[str, Any]:
     """Calibrate → (optional AWQ fold) → GPTQ-quantize the target leaves.
@@ -194,7 +227,7 @@ def gptq_quantize_params(
             qt = gptq_quantize(
                 stacked[l], hess[_TAP_OF[name]][l], bits=bits,
                 act_bits=act_bits, clip_search=clip_search,
-                act_order=act_order, damp=damp,
+                act_order=act_order, damp=damp, refit_iters=refit_iters,
             )
             qs.append(np.asarray(qt.q))
             ss.append(np.asarray(qt.scales))

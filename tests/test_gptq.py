@@ -121,3 +121,37 @@ def test_gptq_quantize_params_end_to_end():
     # int4 noise bound: top-1 agreement on most positions.
     agree = (np.asarray(got)[0].argmax(-1) == np.asarray(ref)[0].argmax(-1)).mean()
     assert agree > 0.5, agree
+
+
+def test_refit_improves_hessian_objective():
+    """round→refit→round→refit must strictly lower the layer-output error
+    (w - q·s)ᵀH(w - q·s) summed over channels; the final refit is exactly
+    optimal given the codes so it can never be worse."""
+    from metalchat_tpu.quant.gptq import _channel_scales, _refit_scales
+
+    rng = np.random.default_rng(1)
+    in_f, out_f, n = 64, 48, 512
+    x = _correlated_inputs(rng, n, in_f)
+    w = (rng.standard_normal((in_f, out_f)) * 0.05).astype(np.float64)
+    h = x.T.astype(np.float64) @ x.astype(np.float64)
+
+    def obj(q, s):
+        e = w - q * s
+        return float(np.einsum("io,ij,jo->", e, h, e))
+
+    s0 = _channel_scales(w, 7.0, True)
+    q0 = gptq_rounding(w.copy(), s0, h.copy(), qmax=7.0).astype(np.float64)
+    s1 = _refit_scales(w, q0, h, s0)
+    assert obj(q0, s1) <= obj(q0, s0) + 1e-9
+
+    qt0 = gptq_quantize(w, h, bits=4, refit_iters=0)
+    qt2 = gptq_quantize(w, h, bits=4, refit_iters=2)
+
+    def tensor_obj(qt):
+        wq = np.asarray(dequantize(qt), np.float64)
+        e = w - wq
+        return float(np.einsum("io,ij,jo->", e, h, e))
+
+    assert tensor_obj(qt2) <= tensor_obj(qt0) + 1e-9
+    # Still a valid per-channel tensor on the standard execution path.
+    assert qt2.bits == 4 and qt2.act_bits == 8

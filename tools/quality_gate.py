@@ -86,6 +86,10 @@ def main() -> None:
     w4a8_gptq = gptq_quantize_params(params, cfg, calib, bits=4)
     w4a8_awq_gptq = gptq_quantize_params(params, cfg, calib, bits=4,
                                          awq_alpha=best_alpha)
+    # Hessian scale-refit variant: round -> LS-refit scales -> re-round ->
+    # final refit (quant/gptq.py _refit_scales).
+    w4a8_gptq_refit = gptq_quantize_params(params, cfg, calib, bits=4,
+                                           refit_iters=2)
     print(f"gptq quantization: {time.time()-t0:.1f}s", flush=True)
 
     schemes = {
@@ -102,6 +106,7 @@ def main() -> None:
                             clip_search=True), False),
         "w4a8_awq": (w4a8_awq, False),
         "w4a8_gptq": (w4a8_gptq, False),
+        "w4a8_gptq_refit": (w4a8_gptq_refit, False),
         "w4a8_awq_gptq": (w4a8_awq_gptq, False),
         "w4a8_awq_int8kv": (w4a8_awq, True),
     }
@@ -128,7 +133,8 @@ def main() -> None:
 
     # Headline = best int4 + int8-activation scheme (what bench.py runs).
     headline = min(("w4a8", "w4a8_clip", "w4a8_awq", "w4a8_gptq",
-                    "w4a8_awq_gptq"), key=lambda k: results[k])
+                    "w4a8_gptq_refit", "w4a8_awq_gptq"),
+                   key=lambda k: results[k])
     # Re-measure the int8-KV variant on the WINNING scheme so the shipped
     # configuration (headline + int8 KV) is what the `_int8kv` row reports.
     best_params = dict(schemes)[headline][0]
