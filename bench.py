@@ -239,6 +239,7 @@ def main() -> None:
         # The meter accumulated warmup TTFTs (compile-dominated) — reset so
         # the reported percentiles cover only the measured window.
         engine.meter = type(engine.meter)()
+        engine.counters = {k: 0 for k in engine.counters}
         engine.meter.start()
         t0 = time.perf_counter()
         out = engine.run(requests)
@@ -271,6 +272,9 @@ def main() -> None:
             "ttft_p99_ms": round(1e3 * m.get("ttft_p99", 0.0), 1),
             "service_ttft_p50_ms": round(1e3 * m.get("service_ttft_p50", 0.0), 1),
             "service_ttft_p99_ms": round(1e3 * m.get("service_ttft_p99", 0.0), 1),
+            "wall_s": round(wall, 2),
+            "prefill_dispatches": m.get("prefill_dispatches", 0),
+            "decode_dispatches": m.get("decode_dispatches", 0),
         }))
         return
 

@@ -204,6 +204,13 @@ class ContinuousBatchingEngine:
         # metrics() to make burst behavior observable in benches.
         self.counters = {"prefill_dispatches": 0, "decode_dispatches": 0,
                          "decode_steps": 0, "decode_row_steps": 0}
+        # First-token sampling after a prefill runs OUTSIDE the prefill
+        # program; jit it ONCE here. Calling `sample_batched` eagerly instead
+        # dispatches every op in it as its own program — and its internal
+        # `lax.cond` branches are per-call closures, so eager mode RECOMPILES
+        # the cond on every prefill completion (~2 s each at Gemma's 262k
+        # vocab; this single line was a 10× sustained-serving regression).
+        self._sample_first = jax.jit(sample_batched)
 
         cfg = config
         fwd = self._forward
@@ -485,7 +492,7 @@ class ContinuousBatchingEngine:
             self._key, sub = jax.random.split(self._key)
             cfg = slot.request.sampler
             token = int(
-                sample_batched(
+                self._sample_first(
                     logits,
                     sub,
                     jnp.asarray([cfg.temperature], jnp.float32),
