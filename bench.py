@@ -165,7 +165,7 @@ def main() -> None:
     parser.add_argument("--max-new", type=int, default=96)
     parser.add_argument("--cache-mode", choices=["dense", "paged"],
                         default="dense")
-    parser.add_argument("--page-size", type=int, default=128)
+    parser.add_argument("--page-size", type=int, default=256)
     parser.add_argument("--no-ttft", action="store_true",
                         help="skip the TTFT measurement in decode mode")
     parser.add_argument("--fuse", action=argparse.BooleanOptionalAction,

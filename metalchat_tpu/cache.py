@@ -292,7 +292,7 @@ class PagedKVCache:
         config: ModelConfig,
         *,
         num_pages: int,
-        page_size: int = 128,
+        page_size: int = 256,
         max_slots: int = 8,
         max_pages_per_seq: Optional[int] = None,
     ) -> "PagedKVCache":

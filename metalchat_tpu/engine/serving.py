@@ -109,7 +109,7 @@ class ContinuousBatchingEngine:
         quantized_kv: bool = False,
         prefill_chunk: int = 256,
         cache_mode: str = "dense",        # "dense" | "paged"
-        page_size: int = 128,
+        page_size: int = 256,
         num_pages: Optional[int] = None,
         seed: int = 0,
         decode_burst: int = 1,
