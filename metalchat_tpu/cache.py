@@ -296,7 +296,10 @@ class PagedKVCache:
         max_slots: int = 8,
         max_pages_per_seq: Optional[int] = None,
     ) -> "PagedKVCache":
-        mps = max_pages_per_seq or (config.max_seq_len // page_size)
+        # Ceil: a page table must COVER max_seq_len even when it isn't a
+        # page_size multiple (matches engine/serving.py's sizing — a floor
+        # here silently under-covers e.g. max_seq_len=384 at page_size=256).
+        mps = max_pages_per_seq or -(-config.max_seq_len // page_size)
         shape = (config.num_layers, config.num_kv_heads, num_pages, page_size,
                  config.head_dim)
         sshape = (config.num_layers, num_pages, config.num_kv_heads, page_size)

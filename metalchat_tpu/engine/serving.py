@@ -209,7 +209,8 @@ class ContinuousBatchingEngine:
         # dispatches every op in it as its own program — and its internal
         # `lax.cond` branches are per-call closures, so eager mode RECOMPILES
         # the cond on every prefill completion (~2 s each at Gemma's 262k
-        # vocab; this single line was a 10× sustained-serving regression).
+        # vocab; this single line was a 6.5× sustained-serving regression:
+        # 48.6 → 316 tok/s, SERVE_r03.json history).
         self._sample_first = jax.jit(sample_batched)
 
         cfg = config

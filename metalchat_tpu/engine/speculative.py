@@ -54,6 +54,91 @@ def _softmax_t(logits, temperature: float):
     return jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
 
 
+def breakeven_accept_rate(
+    step_ratio: float,
+    n_draft: int = 4,
+    verify_rel: float = 1.16,
+    sync_rel: float = 0.0,
+) -> Optional[float]:
+    """Per-draft accept rate α at which speculative decoding breaks even.
+
+    All costs in units of one target decode step: a round costs
+    (n_draft−1)·(step_ratio + sync_rel) + verify_rel + sync_rel and emits
+    E(α) = Σ_{i=0}^{n_draft−1} α^i tokens; plain decode pays 1 + sync_rel
+    per token. verify_rel=1.16 is the measured ≤16-token stacked-matvec
+    verify cost at 8B (docs/performance.md). Returns None when even α=1
+    loses (a draft slower than the window it saves — the measured 8B/1B
+    regime through a high-sync transport)."""
+    cost = (n_draft - 1) * (step_ratio + sync_rel) + verify_rel + sync_rel
+    need = cost / (1.0 + sync_rel)   # emitted tokens/round to break even
+    if need >= n_draft:              # E(1) = n_draft is the ceiling
+        return None
+    if need <= 1.0:
+        return 0.0
+    lo, hi = 0.0, 1.0
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        e = sum(mid**i for i in range(n_draft))
+        lo, hi = (mid, hi) if e < need else (lo, mid)
+    return (lo + hi) / 2
+
+
+def measure_step_ratio(
+    target_params, target_config: ModelConfig,
+    draft_params, draft_config: ModelConfig,
+    *,
+    seq_len: int = 256,
+    steps_lo: int = 2,
+    steps_hi: int = 10,
+) -> float:
+    """Measured t_draft / t_target for one decode step of each model.
+
+    Repeats-marginal method (CLAUDE.md): each model runs `steps` chained
+    decode steps inside ONE jitted fori_loop program, timed at two step
+    counts; the difference isolates per-step cost from dispatch/sync
+    latency. Costs one extra compile per model — the price of an honest
+    number (the 1B/8B ratio measured 0.89 where naive size scaling
+    predicts ~0.3; docs/performance.md)."""
+    import time
+
+    def step_time(params, config: ModelConfig) -> float:
+        cache = KVCache.create(config, 1, seq_len,
+                               dtype=params["final_norm"].dtype)
+        tok = jnp.zeros((1, 1), jnp.int32)
+
+        @functools.partial(jax.jit, static_argnames=("steps",), donate_argnums=(1,))
+        def run(params, cache, steps: int):
+            def body(i, carry):
+                tok, cache = carry
+                logits, cache = forward(params, cache, tok, i, config)
+                return jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None], cache
+
+            tok2, cache = jax.lax.fori_loop(
+                0, steps, body, (jnp.zeros((1, 1), jnp.int32), cache))
+            return tok2, cache
+
+        def timed(steps: int, cache) -> tuple:
+            t0 = time.perf_counter()
+            tok2, cache = run(params, cache, steps)
+            np.asarray(tok2)  # force through any async transport
+            return time.perf_counter() - t0, cache
+
+        _, cache = timed(steps_lo, cache)          # warm both programs
+        _, cache = timed(steps_hi, cache)
+        marginals = []
+        for _ in range(3):
+            lo, cache = timed(steps_lo, cache)
+            hi, cache = timed(steps_hi, cache)
+            marginals.append((hi - lo) / (steps_hi - steps_lo))
+        # Median of three: sub-ms steps on fast backends are noise-prone
+        # (a single negative marginal would make the ratio meaningless).
+        return max(sorted(marginals)[1], 1e-9)
+
+    t_target = step_time(target_params, target_config)
+    t_draft = step_time(draft_params, draft_config)
+    return t_draft / t_target
+
+
 def speculative_generate(
     target_params,
     target_config: ModelConfig,

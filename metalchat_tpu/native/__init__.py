@@ -23,11 +23,30 @@ from typing import Optional
 _LIB_NAME = "libmetalchat_native.so"
 
 
+def _stale(so_path: Path) -> bool:
+    """True when any .cc source is newer than the built library."""
+    try:
+        built = so_path.stat().st_mtime
+        return any(src.stat().st_mtime > built
+                   for src in so_path.parent.glob("*.cc"))
+    except OSError:
+        return True
+
+
 @functools.lru_cache(maxsize=1)
 def _load() -> Optional[ctypes.CDLL]:
     path = Path(__file__).parent / _LIB_NAME
-    if not path.exists():
-        return None
+    if not path.exists() or _stale(path):
+        # Build lazily from the checked-in sources (the .so itself is NOT
+        # committed — a committed binary can silently shadow newer sources;
+        # the reference rebuilds its metallib from source every build,
+        # kernel/CMakeLists.txt:18-55). Failure → pure-Python fallbacks.
+        try:
+            from metalchat_tpu.native.build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
     try:
         lib = ctypes.CDLL(str(path))
     except OSError:

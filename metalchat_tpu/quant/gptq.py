@@ -160,21 +160,41 @@ def gptq_quantize(
     (drop-in for `quantize(..., group_size=None)` on the same MXU path).
 
     refit_iters > 0 alternates compensated rounding with the Hessian
-    least-squares scale refit (round → refit → round …), ending on a final
-    refit (which is exactly optimal given the fixed codes; the re-round
-    half-step is the usual GPTQ heuristic)."""
+    least-squares scale refit (round → refit → round …). Each refit is
+    exactly optimal given fixed codes, but the re-round half-step is a
+    heuristic that can regress individual channels (measured: seed-dependent
+    ±0.5% on the Hessian objective) — so every (q, scales) candidate the
+    alternation visits is scored per output channel against the calibration
+    objective (w_c − s·q_c)ᵀH(w_c − s·q_c) and the best one per channel
+    ships. Refit is therefore never-worse than refit_iters=0 by
+    construction (the first candidate, round→refit, already ≤ the plain
+    rounding per channel)."""
     w = np.asarray(w, np.float64)
     in_features, out_features = w.shape
     qmax = 127.0 if bits == 8 else 7.0
     scales = _channel_scales(w, qmax, clip_search)
     q = gptq_rounding(w, scales, hessian, qmax=qmax, act_order=act_order,
                       damp=damp)
-    for _ in range(refit_iters):
-        scales = _refit_scales(w, q.astype(np.float64), hessian, scales)
-        q = gptq_rounding(w, scales, hessian, qmax=qmax,
-                          act_order=act_order, damp=damp)
     if refit_iters:
+        H = np.asarray(hessian, np.float64)
+
+        def channel_obj(qf: np.ndarray, s: np.ndarray) -> np.ndarray:
+            e = w - qf * s
+            return np.einsum("io,io->o", e, H @ e)
+
         scales = _refit_scales(w, q.astype(np.float64), hessian, scales)
+        best_q, best_s = q, scales
+        best_obj = channel_obj(q.astype(np.float64), scales)
+        for _ in range(refit_iters):
+            q = gptq_rounding(w, scales, hessian, qmax=qmax,
+                              act_order=act_order, damp=damp)
+            scales = _refit_scales(w, q.astype(np.float64), hessian, scales)
+            obj = channel_obj(q.astype(np.float64), scales)
+            take = obj < best_obj
+            best_q = np.where(take[None, :], q, best_q).astype(np.int8)
+            best_s = np.where(take, scales, best_s)
+            best_obj = np.minimum(obj, best_obj)
+        q, scales = best_q, best_s
     if bits == 4:
         q = _pack_int4(q)
     return auto_orient(QuantizedTensor(

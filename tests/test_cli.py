@@ -237,3 +237,7 @@ def test_cli_prompt_speculative(fake_checkout, store_home, capsys):
     captured = capsys.readouterr()
     assert captured.out.endswith("\n")
     assert "accept_rate=1.00" in captured.err
+    # The futility check ran (draft == target -> ratio ~1 normally warns,
+    # but tiny-CPU timing noise can land either way — just require the
+    # measured line).
+    assert "step ratio" in captured.err or "WARNING" in captured.err

@@ -124,9 +124,11 @@ def test_gptq_quantize_params_end_to_end():
 
 
 def test_refit_improves_hessian_objective():
-    """round→refit→round→refit must strictly lower the layer-output error
-    (w - q·s)ᵀH(w - q·s) summed over channels; the final refit is exactly
-    optimal given the codes so it can never be worse."""
+    """refit_iters>0 must never raise the layer-output error
+    (w - q·s)ᵀH(w - q·s): gptq_quantize scores every candidate the
+    round/refit alternation visits per output channel and keeps the best,
+    so this is an invariant by construction (not a seed-dependent
+    property of the alternation, which alone can regress — ADVICE r3)."""
     from metalchat_tpu.quant.gptq import _channel_scales, _refit_scales
 
     rng = np.random.default_rng(1)

@@ -139,3 +139,36 @@ def test_sampled_mode_runs_and_terminates():
     assert len(out) == 10
     assert ((0 <= out) & (out < 96)).all()
     assert 0.0 <= stats["accept_rate"] <= 1.0
+
+
+def test_breakeven_accept_rate_formula():
+    from metalchat_tpu.engine.speculative import breakeven_accept_rate
+
+    # Measured 8B/1B regime (docs/performance.md): ratio 0.89, n_draft 5
+    # -> breakeven ~0.97 under this loop's accounting (futile either way;
+    # the docs' 0.94 counted n_draft proposals where the loop proposes
+    # n_draft-1).
+    a = breakeven_accept_rate(0.89, n_draft=5)
+    assert a is not None and 0.9 < a < 0.99, a
+    # A genuinely small draft: ratio 0.1 -> attainable breakeven.
+    a = breakeven_accept_rate(0.1, n_draft=5)
+    assert a is not None and a < 0.6, a
+    # Free drafts with cheap verify: profitable at any accept rate.
+    assert breakeven_accept_rate(0.0, n_draft=5, verify_rel=1.0) == 0.0
+    # Draft as slow as the target: even alpha=1 loses -> None.
+    assert breakeven_accept_rate(1.2, n_draft=3) is None
+    # High sync cost (tunnel): breakeven rises.
+    lo = breakeven_accept_rate(0.3, n_draft=5)
+    hi = breakeven_accept_rate(0.3, n_draft=5, sync_rel=2.0)
+    assert hi is None or hi > lo
+
+
+def test_measure_step_ratio_tiny():
+    """Identical models must measure a ratio near 1 (CPU, tiny shapes)."""
+    from metalchat_tpu.engine.speculative import measure_step_ratio
+
+    cfg_t = cfg(layers=2)
+    params = init_random_params(cfg_t, seed=0, dtype=jnp.float32)
+    r = measure_step_ratio(params, cfg_t, params, cfg_t, seq_len=64,
+                           steps_lo=2, steps_hi=40)
+    assert 0.2 < r < 5.0, r

@@ -131,10 +131,42 @@ def main() -> None:
     deltas = {k: 100.0 * (v - ref) / ref for k, v in results.items()}
     tokens_scored = args.batches * args.batch * (args.seq - 1)
 
-    # Headline = best int4 + int8-activation scheme (what bench.py runs).
-    headline = min(("w4a8", "w4a8_clip", "w4a8_awq", "w4a8_gptq",
-                    "w4a8_gptq_refit", "w4a8_awq_gptq"),
-                   key=lambda k: results[k])
+    # Headline = best int4 + int8-activation scheme (what bench.py runs),
+    # by short-fixture ppl with a long-context tiebreak below.
+    candidates = ("w4a8", "w4a8_clip", "w4a8_awq", "w4a8_gptq",
+                  "w4a8_gptq_refit", "w4a8_awq_gptq")
+    ranked = sorted(candidates, key=lambda k: results[k])
+    headline = ranked[0]
+
+    # Long-context measurement plumbing (VERDICT r2 weak #4): teacher-forced
+    # ppl at seq=long_seq on a disjoint slice of the eval corpus.
+    bl = max(4, args.batches // 2)
+    need = bl * args.batch * long_seq
+    tail = ev[n + 8 * args.seq :]
+    have_long = long_seq > args.seq and len(tail) >= need
+    if have_long:
+        data_l = jnp.asarray(tail[:need].reshape(bl, args.batch, long_seq))
+
+        def long_ppl(p, qkv):
+            vals = [float(nll_fn(p, tokens=data_l[i], quantized_kv=qkv))
+                    for i in range(bl)]
+            return float(np.exp(np.mean(vals)))
+
+        # Tiebreak (ADVICE r3): a winner by short ppl can still regress long
+        # context (int8-KV error compounds differently per scheme). When the
+        # runner-up is within noise on short ppl (≤0.1% delta-of-delta) but
+        # materially better at long context (≥0.2% absolute), ship it.
+        long_bf16 = long_ppl(params, False)
+        top2_long = {k: long_ppl(dict(schemes)[k][0], True) for k in ranked[:2]}
+        d0 = 100.0 * (top2_long[ranked[0]] - long_bf16) / long_bf16
+        d1 = 100.0 * (top2_long[ranked[1]] - long_bf16) / long_bf16
+        short_gap = deltas[ranked[1]] - deltas[ranked[0]]
+        if short_gap <= 0.1 and d0 - d1 >= 0.2:
+            print(f"long-context tiebreak: {ranked[1]} (+{short_gap:.3f}% "
+                  f"short) beats {ranked[0]} at long context "
+                  f"({d1:+.3f}% vs {d0:+.3f}%) -> headline flips")
+            headline = ranked[1]
+
     # Re-measure the int8-KV variant on the WINNING scheme so the shipped
     # configuration (headline + int8 KV) is what the `_int8kv` row reports.
     best_params = dict(schemes)[headline][0]
@@ -148,23 +180,17 @@ def main() -> None:
     print(f"{'headline_int8kv':14s} ppl {results['headline_int8kv']:.4f}",
           flush=True)
 
-    # Long-context row (VERDICT r2 weak #4): does int8 KV hold quality at
-    # the fixture's full context? Teacher-forced ppl at seq=long_seq, bf16
-    # vs headline+int8KV, on a disjoint slice of the eval corpus.
     long_ctx = {}
-    bl = max(4, args.batches // 2)
-    need = bl * args.batch * long_seq
-    tail = ev[n + 8 * args.seq :]
-    if long_seq > args.seq and len(tail) >= need:
-        data_l = jnp.asarray(tail[:need].reshape(bl, args.batch, long_seq))
-        for label, (p, qkv) in (("bf16", (params, False)),
-                                ("headline_int8kv", (best_params, True))):
-            vals = [float(nll_fn(p, tokens=data_l[i], quantized_kv=qkv))
-                    for i in range(bl)]
-            long_ctx[label] = float(np.exp(np.mean(vals)))
+    if have_long:
+        long_ctx["bf16"] = long_bf16
+        long_ctx["headline_int8kv"] = top2_long.get(
+            headline) or long_ppl(best_params, True)
         long_ctx["delta_pct"] = round(
             100.0 * (long_ctx["headline_int8kv"] - long_ctx["bf16"])
             / long_ctx["bf16"], 4)
+        long_ctx["runner_up"] = {
+            k: round(100.0 * (v - long_bf16) / long_bf16, 4)
+            for k, v in top2_long.items()}
         print(f"long-context ({long_seq} tokens): bf16 {long_ctx['bf16']:.4f}"
               f"  headline_int8kv {long_ctx['headline_int8kv']:.4f}"
               f"  delta {long_ctx['delta_pct']:+.3f}%", flush=True)
