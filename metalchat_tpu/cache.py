@@ -207,11 +207,20 @@ def _write_rows_stacked(
         return jax.lax.dynamic_update_slice(
             cache, new[None], (layer, zero, zero, start_pos) + tail)
 
-    def one(row_cache, row_new, pos):  # row_cache [L, n_kv, S_max(, hd)]
-        return jax.lax.dynamic_update_slice(
-            row_cache, row_new[None], (layer, zero, pos) + tail)
-
-    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(cache, new, start_pos)
+    # Per-row positions: B chained single-row DUS ops, NOT a vmapped DUS.
+    # A vmap over the batch axis makes XLA's layout assignment prefer a
+    # B-outermost cache layout for the batched-DUS fusion while the Pallas
+    # attention kernels need the default layout — inserting TWO full-cache
+    # layout-conversion copies per layer iteration (measured: the dense
+    # serve burst ran ~3x slower per dispatch than paged, SERVE_r03 "open";
+    # ~550 MB of copy traffic per 8B layer step). B is static, so the
+    # unrolled writes stay in place under donation like the scalar path.
+    out = cache
+    for b in range(new.shape[0]):
+        bi = jnp.asarray(b, jnp.int32)
+        out = jax.lax.dynamic_update_slice(
+            out, new[b][None, None], (layer, bi, zero, start_pos[b]) + tail)
+    return out
 
 
 def update_stacked_layer_cache(cache_k, cache_v, k, v, layer, start_pos):

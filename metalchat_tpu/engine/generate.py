@@ -47,7 +47,17 @@ def _eos_hit(tokens: jax.Array, eos_ids: Tuple[int, ...]) -> jax.Array:
     return jnp.any(tokens[:, None] == eos[None, :], axis=-1)
 
 
-def _default_forward(config: ModelConfig):
+def _default_forward(config: ModelConfig, params=None):
+    # Concrete sharded params + Pallas fast decode don't compose under
+    # GSPMD (custom calls aren't partitionable) — pin the XLA path; the
+    # shard_map tp path (parallel.tp_decode) is the sharded fast path.
+    if params is not None:
+        from metalchat_tpu.models.decode import params_partitioned
+        from metalchat_tpu.ops import use_pallas
+
+        if use_pallas() and params_partitioned(params):
+            return lambda p, c, t, s: forward(p, c, t, s, config,
+                                              fast_decode=False)
     return lambda p, c, t, s: forward(p, c, t, s, config)
 
 
@@ -131,7 +141,7 @@ def generate(
         limit = max_seq_len or min(config.max_seq_len, s + max_new_tokens)
         cls = QuantizedKVCache if quantized_kv else KVCache
         cache = cls.create(config, b, limit)
-    fwd = forward_fn or _default_forward(config)
+    fwd = forward_fn or _default_forward(config, params)
 
     def first_state(logits, cache, key):
         key, sub = jax.random.split(key)

@@ -61,11 +61,10 @@ def _slice_layer(arr: jax.Array, l: jax.Array) -> jax.Array:
 
 
 def _slice_qt(qt: QuantizedTensor, l: jax.Array) -> QuantizedTensor:
-    return QuantizedTensor(
-        q=_slice_layer(qt.q, l), scales=_slice_layer(qt.scales, l),
-        bits=qt.bits, group_size=qt.group_size, transposed=qt.transposed,
-        act_bits=qt.act_bits,
-    )
+    import dataclasses
+
+    return dataclasses.replace(
+        qt, q=_slice_layer(qt.q, l), scales=_slice_layer(qt.scales, l))
 
 
 def _kernel_ok(qt: QuantizedTensor) -> bool:
@@ -77,6 +76,7 @@ def _kernel_ok(qt: QuantizedTensor) -> bool:
     k = qt.q.shape[-1]
     return (
         qt.act_bits == 8
+        and qt.pack_chunks == 1
         and qt.transposed
         and qt.group_size == qt.in_features
         and choose_block_out(qt.out_features, k) is not None
@@ -115,6 +115,20 @@ def _lm_head(x: jax.Array, leaf: Any) -> jax.Array:
     return linear(x, leaf)
 
 
+def params_partitioned(params) -> bool:
+    """True when any CONCRETE param leaf is sharded across >1 device.
+
+    Tracers can't be inspected (returns False for them) — jit-level callers
+    must gate at construction time instead (engine/generate do)."""
+    for leaf in jax.tree.leaves(params):
+        if isinstance(leaf, jax.core.Tracer) or not isinstance(leaf, jax.Array):
+            continue
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is not None and not sharding.is_fully_replicated:
+            return True
+    return False
+
+
 def supports_fast_decode(params: Dict[str, Any], cache, config: ModelConfig,
                          tokens: jax.Array) -> bool:
     from metalchat_tpu.cache import PagedKVCache
@@ -125,11 +139,32 @@ def supports_fast_decode(params: Dict[str, Any], cache, config: ModelConfig,
     # prefill path's fused-dequant matmuls at half the bandwidth); decode
     # attention takes the XLA branch for s > 1. Larger windows are MXU
     # territory — the flash-attention prefill path wins there.
+    #
+    # GSPMD-sharded params + Pallas kernels don't compose (GSPMD cannot
+    # partition the custom calls — it would replicate the weight reads);
+    # sharded execution of this path goes through
+    # `parallel.tp_decode.make_tp_decode_step` (shard_map) instead, so
+    # eager sharded callers fall back to the partitionable XLA path here.
+    if use_pallas() and params_partitioned(params):
+        return False
     return (
         tokens.shape[1] <= 16
         and not isinstance(cache, PagedKVCache)
         and not config.num_experts
     )
+
+
+def _tp_lookup_embedding(tokens: jax.Array, embed: Any, axis: str) -> jax.Array:
+    """Vocab-sharded embedding lookup inside shard_map: each shard owns rows
+    [i·V_l, (i+1)·V_l); out-of-shard ids gather row 0 (clipped) and are
+    zeroed, then one psum assembles the full embedding."""
+    v_local = embed.q.shape[0] if isinstance(embed, QuantizedTensor) else embed.shape[0]
+    start = jax.lax.axis_index(axis) * v_local
+    local_ids = jnp.clip(tokens - start, 0, v_local - 1)
+    x = lookup_embedding(local_ids, embed)
+    valid = (tokens >= start) & (tokens < start + v_local)
+    x = jnp.where(valid[..., None], x, jnp.zeros((), x.dtype))
+    return jax.lax.psum(x, axis)
 
 
 def decode_step(
@@ -138,6 +173,8 @@ def decode_step(
     tokens: jax.Array,     # int32 [B, 1]
     start_pos: jax.Array,  # scalar or [B]
     config: ModelConfig,
+    *,
+    tp_axis: str = None,
 ):
     """One decode step over a short window; same contract as `forward`.
 
@@ -145,8 +182,23 @@ def decode_step(
     is the speculative-verify / chunked-decode window — matvecs flatten the
     window into [B·s] rows through the SAME stacked Pallas kernels (one
     weight read per window), attention takes the XLA branch with a causal
-    window mask."""
+    window mask.
+
+    tp_axis: set by `parallel.tp_decode.make_tp_decode_step` when this
+    function runs INSIDE shard_map over a tensor-parallel mesh axis. The
+    caller passes a LOCAL config (heads / kv-heads / intermediate divided
+    by tp) and locally-shaped param/cache shards; this function then adds
+    the manual collectives GSPMD would have inserted: a psum after each
+    row-parallel matvec (wo, w2) and around the vocab-sharded embedding.
+    Attention is communication-free (KV heads co-located with their GQA
+    query groups) and the column-parallel matvecs read the replicated
+    hidden state — the scaling-book TP recipe, executed through the SAME
+    Pallas kernels as single-chip decode."""
     b, s = tokens.shape
+    if tp_axis is not None and config.use_bias:
+        raise NotImplementedError(
+            "tp fast decode adds biases after psum; use_bias models take "
+            "the GSPMD XLA path")
     start_pos = jnp.asarray(start_pos, jnp.int32)
     offsets = start_pos if start_pos.ndim == 1 else jnp.broadcast_to(start_pos, (b,))
     positions = offsets[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
@@ -159,7 +211,11 @@ def decode_step(
     scale = config.query_scale if config.query_scale is not None else hd**-0.5
     L = config.num_layers
 
-    x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
+    if tp_axis is not None:
+        x = _tp_lookup_embedding(tokens, params["embed"], tp_axis)
+        x = x.astype(params["final_norm"].dtype)
+    else:
+        x = lookup_embedding(tokens, params["embed"]).astype(params["final_norm"].dtype)
     if config.embedding_scale is not None:
         x = x * jnp.asarray(config.embedding_scale, x.dtype)
     if config.position_embedding == "learned":
@@ -287,6 +343,8 @@ def decode_step(
 
         attn = biased(_linear_l(attn.reshape(b * s, nh * hd), layers["wo"], l),
                       "wo_b", l)
+        if tp_axis is not None:   # row-parallel wo: sum the partial outputs
+            attn = jax.lax.psum(attn, tp_axis)
         if config.use_post_norms:
             attn = ops.rms_norm(attn, _slice_layer(layers["post_attn_norm"], l),
                                 eps=eps, offset=mu)
@@ -309,6 +367,8 @@ def decode_step(
                     if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
             ffn = _linear_l(gate * norm_linear(x, "w3", "ffn_norm"),
                             layers["w2"], l)
+        if tp_axis is not None:   # row-parallel w2
+            ffn = jax.lax.psum(ffn, tp_axis)
         if config.use_post_norms:
             ffn = ops.rms_norm(ffn, _slice_layer(layers["post_ffn_norm"], l),
                                eps=eps, offset=mu)

@@ -32,9 +32,24 @@ def use_pallas() -> bool:
     """True when running on real TPU hardware (Mosaic available).
 
     Kill-switch: METALCHAT_TPU_NO_PALLAS=1 forces the XLA reference path
-    (debugging / numerics bisection)."""
+    (debugging / numerics bisection). METALCHAT_TPU_PALLAS_INTERPRET=1
+    forces the Pallas code paths ON when the backend is CPU — the kernels
+    then run in Pallas interpret mode (resolve_interpret), which is how
+    the tp-sharded fast-decode path is exercised on the CPU test mesh
+    with the SAME kernel code that runs on chip."""
     import os
 
     if os.environ.get("METALCHAT_TPU_NO_PALLAS"):
         return False
+    if os.environ.get("METALCHAT_TPU_PALLAS_INTERPRET"):
+        return True
     return jax.default_backend() not in ("cpu",)
+
+
+def resolve_interpret(interpret) -> bool:
+    """Kernel `interpret=None` default: interpret off on real TPU, on for
+    the CPU backend (used by tests/dryrun to execute kernel code without
+    Mosaic)."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return bool(interpret)

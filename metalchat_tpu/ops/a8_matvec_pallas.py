@@ -159,13 +159,16 @@ def quant_matvec_stacked(
     *,
     bits: int,
     block_out: Optional[int] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Integer matvec against one layer of a stacked quantized weight.
 
     Returns s32 [B, out] — the caller applies `* sx * s_col` (exact for
     per-channel scales; see quant/quantize.py `_matmul_a8`).
     """
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     L, out, k = p_stack.shape
     b, in_f = xq.shape
     assert k * (2 if bits == 4 else 1) == in_f, (p_stack.shape, xq.shape)
@@ -205,7 +208,7 @@ def quant_matvec_stacked_fused(
     *,
     bits: int,
     block_out: Optional[int] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     norm_stack: Optional[jax.Array] = None,  # [L, in] rmsnorm weights —
                                              # fuses the pre-norm in-kernel
     norm_eps: Optional[float] = None,
@@ -220,6 +223,9 @@ def quant_matvec_stacked_fused(
     ±1-ulp reduction-order noise), but saves ~3 XLA dispatches per matvec,
     which at 4 matvecs × n_layers dominates the decode step's non-HBM
     residual."""
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     L, out, k = p_stack.shape
     b, in_f = x.shape
     assert k * (2 if bits == 4 else 1) == in_f, (p_stack.shape, x.shape)

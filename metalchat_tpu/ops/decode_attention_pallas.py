@@ -145,7 +145,7 @@ def decode_attention(
     scale: float,
     window=None,         # sliding window (dynamic scalar ok); None = global
     block_t: int = 256,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     return _decode_call(q, k, v, None, None, lengths, scale=scale, window=window,
                         block_t=block_t, interpret=interpret)
@@ -163,7 +163,7 @@ def decode_attention_quantized(
     scale: float,
     window=None,
     block_t: int = 256,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     return _decode_call(q, k, v, k_scale, v_scale, lengths, scale=scale,
                         window=window, block_t=block_t, interpret=interpret)
@@ -185,6 +185,9 @@ def _block_clamp(tt, lens, win, bb, block_t):
 
 
 def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret):
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     b, nh, hd = q.shape
     _, nkv, t_max, _ = k.shape
     groups = nh // nkv
@@ -249,7 +252,7 @@ def _decode_call(q, k, v, ks, vs, lengths, *, scale, window, block_t, interpret)
 @functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
 def decode_attention_stacked(
     q, k, v, layer, lengths, *, scale, window=None, block_t: int = 256,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ):
     """Decode attention reading layer `layer` of a STACKED cache directly.
 
@@ -266,7 +269,7 @@ def decode_attention_stacked(
 @functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
 def decode_attention_quantized_stacked(
     q, k, v, k_scale, v_scale, layer, lengths, *, scale, window=None,
-    block_t: int = 256, interpret: bool = False,
+    block_t: int = 256, interpret: Optional[bool] = None,
 ):
     """int8-KV variant of `decode_attention_stacked`; scales [L, B, n_kv, T]."""
     return _decode_call_stacked(q, k, v, k_scale, v_scale, layer, lengths,
@@ -276,6 +279,9 @@ def decode_attention_quantized_stacked(
 
 def _decode_call_stacked(q, k, v, ks, vs, layer, lengths, *, scale, window,
                          block_t, interpret):
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     b, nh, hd = q.shape
     L, _, nkv, t_max, _ = k.shape
     groups = nh // nkv

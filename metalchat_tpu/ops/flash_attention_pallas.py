@@ -111,8 +111,11 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     kv_len: Optional[int] = None,  # restrict scanned cache length (static)
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     b, s, nh, hd = q.shape
     nkv, t_max = k.shape[1], (kv_len if kv_len is not None else k.shape[2])
     groups = nh // nkv

@@ -139,8 +139,11 @@ def paged_decode_attention(
     *,
     scale: float,
     window=None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     b, nh, hd = q.shape
     n_kv, num_pages, psize, _ = k_pages.shape
     groups = nh // n_kv

@@ -103,13 +103,16 @@ def quant_matmul_pallas(
     group_size: int = 32,
     block_out: int = 512,
     block_in: int = 2048,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """x [B, in] @ dequant(q, scales) [in, out] → [B, out].
 
     q: int8 [in, out] (bits=8) or half-split packed [in//2, out] (bits=4);
     scales: [in//group_size, out].
     """
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     b, in_features = x.shape
     out_features = q.shape[-1]
     n_groups = scales.shape[0]

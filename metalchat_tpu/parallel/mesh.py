@@ -122,16 +122,25 @@ def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
     return jax.tree.map(to_sharding, specs, is_leaf=lambda x: isinstance(x, P))
 
 
-def cache_shardings(mesh: Mesh, quantized: bool = False, num_kv_heads: Optional[int] = None):
-    """KV cache [L, B, n_kv, S, hd]: batch on dp, kv-heads on tp (replicated
-    over tp when kv-heads don't divide it — matching param_shardings)."""
+def cache_partition_specs(mesh: Mesh, quantized: bool = False,
+                          num_kv_heads: Optional[int] = None):
+    """KV cache [L, B, n_kv, S, hd] PartitionSpecs: batch on dp, kv-heads on
+    tp (replicated over tp when kv-heads don't divide it — matching
+    param_shardings)."""
     tp = mesh.shape["tp"]
+    dp = "dp" if "dp" in mesh.shape else None
     head_axis = "tp" if (num_kv_heads is None or num_kv_heads % tp == 0) else None
-    kv = NamedSharding(mesh, P(None, "dp", head_axis, None, None))
+    kv = P(None, dp, head_axis, None, None)
     if quantized:
-        sc = NamedSharding(mesh, P(None, "dp", head_axis, None))  # [L,B,nkv,S]
+        sc = P(None, dp, head_axis, None)  # [L,B,nkv,S]
         return QuantizedKVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
     return KVCache(k=kv, v=kv)
+
+
+def cache_shardings(mesh: Mesh, quantized: bool = False, num_kv_heads: Optional[int] = None):
+    specs = cache_partition_specs(mesh, quantized, num_kv_heads)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
 
 
 def _prune_to(tree: Dict[str, Any], reference: Dict[str, Any], default=None) -> Dict[str, Any]:
@@ -147,8 +156,10 @@ def _prune_to(tree: Dict[str, Any], reference: Dict[str, Any], default=None) -> 
     return out
 
 
-def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
-    """Place a parameter tree onto the mesh with TP shardings.
+def param_partition_specs(params: Dict[str, Any], config: ModelConfig,
+                          mesh: Mesh) -> Dict[str, Any]:
+    """Params-structured tree of raw PartitionSpecs (shard_map in_specs /
+    device placement both derive from this).
 
     QuantizedTensor leaves inherit the dense leaf's LOGICAL ([in, out]) spec,
     remapped onto their physical storage: transposed tensors swap the last
@@ -158,13 +169,13 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
     collective-free."""
     from metalchat_tpu.quant.quantize import LoraLinear, QuantizedTensor
 
-    replicated = NamedSharding(mesh, P())
-    shardings = _prune_to(param_shardings(config, mesh), params, default=replicated)
+    shardings = _prune_to(param_shardings(config, mesh), params,
+                          default=NamedSharding(mesh, P()))
 
     def expand(spec, leaf):
         if isinstance(leaf, LoraLinear):
-            return LoraLinear(base=expand(spec, leaf.base), a=replicated,
-                              b=replicated, scale=leaf.scale)
+            return LoraLinear(base=expand(spec, leaf.base), a=P(),
+                              b=P(), scale=leaf.scale)
         if isinstance(leaf, QuantizedTensor):
             p = list(spec.spec) if isinstance(spec, NamedSharding) else []
             p += [None] * (leaf.q.ndim - len(p))
@@ -177,19 +188,75 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
             else:                                     # scales [.., in/g, out]
                 s_spec = P(*lead, in_s, out_s)
             return QuantizedTensor(
-                q=NamedSharding(mesh, q_spec),
-                scales=NamedSharding(mesh, s_spec),
+                q=q_spec, scales=s_spec,
                 bits=leaf.bits, group_size=leaf.group_size,
                 transposed=leaf.transposed, act_bits=leaf.act_bits,
+                pack_chunks=leaf.pack_chunks,
             )
-        return spec
+        return spec.spec if isinstance(spec, NamedSharding) else spec
 
     def walk(spec, ref):
         if isinstance(ref, dict):
             return {k: walk(spec[k], v) for k, v in ref.items()}
         return expand(spec, ref)
 
-    return jax.device_put(params, walk(shardings, params))
+    return walk(shardings, params)
+
+
+def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
+    """Place a parameter tree onto the mesh with TP shardings
+    (see `param_partition_specs` for the layout rules).
+
+    int4 act8 leaves whose PACKED axis lands on a sharded mesh axis are
+    re-packed to per-chunk half-split first (`repack_int4_chunks`): default
+    half-split packing pairs byte j with logical rows (j, j+in/2), so a
+    contiguous byte shard of it decodes to non-contiguous logical rows —
+    the row-parallel matvec would contract each device's activation slice
+    against the wrong weights."""
+    from metalchat_tpu.quant.quantize import QuantizedTensor, repack_int4_chunks
+
+    specs = param_partition_specs(params, config, mesh)
+
+    def axis_size(names) -> int:
+        if names is None:
+            return 1
+        if isinstance(names, str):
+            names = (names,)
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        return size
+
+    def prepare(leaf, spec):
+        from dataclasses import replace
+
+        from metalchat_tpu.quant.quantize import LoraLinear
+
+        if isinstance(leaf, LoraLinear):
+            return replace(leaf, base=prepare(leaf.base, spec.base))
+        if (isinstance(leaf, QuantizedTensor) and leaf.bits == 4
+                and leaf.act_bits == 8):
+            packed_axis = -1 if leaf.transposed else -2
+            entries = list(spec.q) if isinstance(spec, QuantizedTensor) else []
+            entries += [None] * (leaf.q.ndim - len(entries))
+            t = axis_size(entries[packed_axis])
+            if t > 1:
+                return repack_int4_chunks(leaf, t)
+        return leaf
+
+    def walk(leaf, spec):
+        if isinstance(leaf, dict):
+            return {k: walk(v, spec[k]) for k, v in leaf.items()}
+        return prepare(leaf, spec)
+
+    params = walk(params, specs)
+    # Unflatten the shardings onto the (possibly repacked) params treedef:
+    # repacking changed QuantizedTensor pack_chunks METADATA, so the spec
+    # tree's own treedef no longer matches, but the leaf order does.
+    flat = [NamedSharding(mesh, s) for s in jax.tree.leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))]
+    shardings = jax.tree.unflatten(jax.tree.structure(params), flat)
+    return jax.device_put(params, shardings)
 
 
 def shard_cache(cache, mesh: Mesh):

@@ -37,7 +37,8 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "scales"],
-    meta_fields=["bits", "group_size", "transposed", "act_bits"],
+    meta_fields=["bits", "group_size", "transposed", "act_bits",
+                 "pack_chunks"],
 )
 @dataclass
 class QuantizedTensor:
@@ -73,6 +74,15 @@ class QuantizedTensor:
     group_size: int = 32
     transposed: bool = False
     act_bits: Optional[int] = None
+    # int4 packing granularity: the half-split pairing runs within each of
+    # `pack_chunks` equal chunks of the in-features axis (1 = the standard
+    # whole-axis half-split). Tensor-parallel placement sets this to tp for
+    # row-parallel int4 leaves: a contiguous byte shard of the DEFAULT
+    # packing decodes to non-contiguous logical rows (byte j pairs w[j] with
+    # w[j+in/2]), which would pair the wrong weights with each device's
+    # activation slice — per-chunk packing makes byte-contiguous sharding
+    # and logical-row sharding coincide (parallel/mesh.py shard_params).
+    pack_chunks: int = 1
 
     @property
     def in_features(self) -> int:
@@ -119,11 +129,50 @@ def _pack_int4(w4: np.ndarray) -> np.ndarray:
     return (lo | hi).astype(np.int8)
 
 
-def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """int8 [..., in//2, out] → int8 [..., in, out] (signed nibble values)."""
+def _unpack_int4(packed: jax.Array, chunks: int = 1) -> jax.Array:
+    """int8 [..., in//2, out] → int8 [..., in, out] (signed nibble values).
+
+    chunks > 1: the half-split pairing runs within each of `chunks` equal
+    sub-ranges of the packed axis (QuantizedTensor.pack_chunks)."""
     lo = jnp.bitwise_and(packed, jnp.int8(15)) - jnp.int8(8)
     hi = jnp.right_shift(packed, 4)  # arithmetic: high nibble is 2's-compl.
-    return jnp.concatenate([lo, hi], axis=-2)
+    if chunks == 1:
+        return jnp.concatenate([lo, hi], axis=-2)
+    *lead, half, out = packed.shape
+    hc = half // chunks
+    lo = lo.reshape(*lead, chunks, hc, out)
+    hi = hi.reshape(*lead, chunks, hc, out)
+    return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, 2 * half, out)
+
+
+def repack_int4_chunks(qt: "QuantizedTensor", chunks: int) -> "QuantizedTensor":
+    """Re-pack an int4 tensor to per-chunk half-split packing (see
+    QuantizedTensor.pack_chunks). No numeric change — only the byte↔logical
+    row pairing moves, so a contiguous 1/chunks byte shard becomes a
+    self-contained half-split packing of its own logical in-range."""
+    if qt.bits != 4 or chunks == qt.pack_chunks:
+        return qt
+    if qt.pack_chunks != 1:
+        raise ValueError("repack from non-default chunking not supported")
+    axis = -1 if qt.transposed else -2
+    q = np.asarray(qt.q)
+    if axis == -1:
+        q = np.swapaxes(q, -1, -2)
+    *lead, half, out = q.shape
+    if half % (2 * chunks):
+        raise ValueError(f"packed axis {half} not splittable into "
+                         f"{chunks} half-split chunks")
+    lo = ((q.astype(np.int8) & 0x0F) - 8).astype(np.int8)
+    hi = (q.astype(np.int8) >> 4).astype(np.int8)
+    w4 = np.concatenate([lo, hi], axis=-2)  # logical [.., in, out]
+    hc = (2 * half) // chunks
+    w4 = w4.reshape(*lead, chunks, hc, out)
+    repacked = _pack_int4(w4).reshape(*lead, half, out)
+    if axis == -1:
+        repacked = np.ascontiguousarray(np.swapaxes(repacked, -1, -2))
+    from dataclasses import replace as _replace
+
+    return _replace(qt, q=jnp.asarray(repacked), pack_chunks=chunks)
 
 
 def quantize(
@@ -205,7 +254,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     one-time-dequant path, quantization/linear.h:50-54)."""
     if qt.transposed:
         qt = with_orientation(qt, False)
-    q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    q = _unpack_int4(qt.q, qt.pack_chunks) if qt.bits == 4 else qt.q
     shape = q.shape
     grouped = q.reshape(*shape[:-2], shape[-2] // qt.group_size, qt.group_size, shape[-1])
     deq = grouped.astype(jnp.float32) * qt.scales.astype(jnp.float32)[..., :, None, :]
@@ -219,12 +268,14 @@ def with_orientation(qt: QuantizedTensor, transposed: bool) -> QuantizedTensor:
     QuantizedTensor docstring (lane-padding)."""
     if qt.transposed == transposed:
         return qt
+    from dataclasses import replace as _replace
+
     per_channel = qt.group_size == qt.in_features
-    return QuantizedTensor(
+    return _replace(
+        qt,
         q=jnp.swapaxes(qt.q, -1, -2),
         scales=qt.scales if per_channel else jnp.swapaxes(qt.scales, -1, -2),
-        bits=qt.bits, group_size=qt.group_size, transposed=transposed,
-        act_bits=qt.act_bits,
+        transposed=transposed,
     )
 
 
@@ -281,7 +332,15 @@ def _matmul_a8(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     half = qt.in_features // 2
     p = qt.q
     m = jnp.bitwise_and(p, jnp.int8(-16))
-    x_lo, x_hi = xq[..., :half], xq[..., half:]
+    if qt.pack_chunks > 1:
+        # Per-chunk half-split (pack_chunks): the byte stream is chunk-major,
+        # so gather each chunk's lo/hi halves of x in that order.
+        hc = qt.in_features // qt.pack_chunks
+        xr = xq.reshape(*xq.shape[:-1], qt.pack_chunks, hc)
+        x_lo = xr[..., : hc // 2].reshape(*xq.shape[:-1], half)
+        x_hi = xr[..., hc // 2 :].reshape(*xq.shape[:-1], half)
+    else:
+        x_lo, x_hi = xq[..., :half], xq[..., half:]
     rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
     d = dims(contract_dim)
     if rows <= 128:
@@ -353,6 +412,7 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     # int4: two half-width dequant matmuls (half-split packing). Nibble
     # extraction in i32 — int8 vector shifts lower poorly on TPU (measured
     # 285 vs 219 GB/s effective at 8B FFN shapes).
+    assert qt.pack_chunks == 1, "chunked packing is an act8/tp-only layout"
     packed = qt.q
     half, out_features = packed.shape[-2:]
     p32 = packed.astype(jnp.int32)
@@ -393,6 +453,7 @@ def _quant_matmul_transposed(x: jax.Array, qt: QuantizedTensor, scales) -> jax.A
              * scales[..., :, :, None]).reshape(out_features, in_features)
         out = jax.lax.dot_general(x, w, dims(), preferred_element_type=jnp.float32)
         return out.astype(dtype)
+    assert qt.pack_chunks == 1, "chunked packing is an act8/tp-only layout"
     packed = qt.q  # [out, in/2], half-split along in
     out_features, half = packed.shape[-2:]
     p32 = packed.astype(jnp.int32)
@@ -451,6 +512,8 @@ def _maybe_pallas(x: jax.Array, qt: QuantizedTensor):
     if not os.environ.get("METALCHAT_TPU_QUANT_KERNEL"):
         return None
     if not use_pallas() or qt.q.ndim != 2 or qt.transposed or qt.act_bits:
+        return None
+    if qt.pack_chunks != 1:
         return None
     lead = int(np.prod(x.shape[:-1]))
     if lead > 32:  # prefill: MXU-bound, the einsum path is fine

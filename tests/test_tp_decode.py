@@ -1,0 +1,168 @@
+"""Tensor-parallel Pallas fast-decode tests (VERDICT r3 missing #1).
+
+Runs the SAME stacked kernel code as the single-chip headline on the CPU-8
+mesh: METALCHAT_TPU_PALLAS_INTERPRET=1 flips `use_pallas()` on while the
+kernels resolve `interpret=None` → interpret mode on the CPU backend. The
+shard_map tp path (parallel/tp_decode.py) is compared against the
+single-device decode step running the same kernels:
+
+  * dense f32 model → token-exact (psum only reorders float sums);
+  * w4a8 model → KV cache writes bit-exact (column-parallel matvecs see the
+    full replicated row), logits within the per-shard act-quant tolerance
+    (row-parallel wo/w2 quantize their local slice — deliberately finer
+    than single-chip, documented in tp_decode.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.config import LlamaConfig
+from metalchat_tpu.models import init_random_params
+from metalchat_tpu.models.decode import decode_step
+from metalchat_tpu.parallel.mesh import make_mesh, shard_cache, shard_params
+from metalchat_tpu.parallel.tp_decode import (
+    make_tp_decode_step,
+    supports_tp_fast_decode,
+    tp_decode_forward_fn,
+)
+from metalchat_tpu.quant.quantize import quantize_params
+
+
+@pytest.fixture(autouse=True)
+def force_pallas_interpret(monkeypatch):
+    from metalchat_tpu import ops
+
+    monkeypatch.setenv("METALCHAT_TPU_PALLAS_INTERPRET", "1")
+    ops.use_pallas.cache_clear()
+    yield
+    ops.use_pallas.cache_clear()
+
+
+# Kernel-legal shapes at tp=2: local wo contraction 512/2 → packed k=128
+# (the a8 kernel's lane floor), heads 4/2, kv-heads 2/2 (GQA co-location).
+CFG = LlamaConfig(
+    vocab_size=512, hidden_size=512, intermediate_size=1024,
+    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+    max_seq_len=256, tie_word_embeddings=False,
+)
+S = 256
+
+
+def tp_mesh(tp=2, dp=1):
+    return make_mesh(tp=tp, dp=dp, devices=jax.devices()[: tp * dp])
+
+
+def test_supports_tp_fast_decode_gating():
+    mesh = tp_mesh()
+    params = init_random_params(CFG, seed=0, dtype=jnp.float32)
+    assert supports_tp_fast_decode(params, CFG, mesh)
+    # Fused leaves mix q|k|v rows across contiguous tp chunks → rejected.
+    fused = dict(params, layers=dict(params["layers"], wqkv=1))
+    assert not supports_tp_fast_decode(fused, CFG, mesh)
+    # kv-heads must divide tp (communication-free attention).
+    mesh4 = tp_mesh(tp=4)
+    assert not supports_tp_fast_decode(params, CFG, mesh4)
+
+
+def test_tp_dense_token_exact():
+    """Dense f32: tp logits match single-device within float-sum noise and
+    an 8-step greedy rollout is token-exact."""
+    mesh = tp_mesh(tp=2)
+    params = init_random_params(CFG, seed=0, dtype=jnp.float32)
+    sparams = shard_params(params, CFG, mesh)
+
+    cache_ref = KVCache.create(CFG, 2, S, dtype=jnp.float32)
+    cache_tp = shard_cache(KVCache.create(CFG, 2, S, dtype=jnp.float32), mesh)
+
+    step_ref = jax.jit(
+        lambda p, c, t, s: decode_step(p, c, t, s, CFG))
+    step_tp = jax.jit(make_tp_decode_step(sparams, CFG, mesh,
+                                          cache_quantized=False))
+
+    tok_ref = tok_tp = jnp.asarray([[5], [9]], jnp.int32)
+    pos = jnp.asarray([0, 0], jnp.int32)
+    toks_ref, toks_tp = [], []
+    for i in range(8):
+        lr, cache_ref = step_ref(params, cache_ref, tok_ref, pos)
+        lt, cache_tp = step_tp(sparams, cache_tp, tok_tp, pos)
+        if i == 0:
+            np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                                       rtol=2e-4, atol=2e-4)
+        tok_ref = jnp.argmax(lr[:, -1], -1).astype(jnp.int32)[:, None]
+        tok_tp = jnp.argmax(lt[:, -1], -1).astype(jnp.int32)[:, None]
+        toks_ref.append(np.asarray(tok_ref)[:, 0])
+        toks_tp.append(np.asarray(tok_tp)[:, 0])
+        pos = pos + 1
+    assert np.array_equal(np.asarray(toks_ref), np.asarray(toks_tp))
+
+
+def test_tp_w4a8_kernel_path():
+    """w4a8 + int8 KV through the Pallas kernels under tp: cache writes are
+    bit-exact vs single-device; logits within act-quant granularity."""
+    mesh = tp_mesh(tp=2)
+    params = init_random_params(CFG, seed=1, dtype=jnp.float32)
+    qparams = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                              scales_dtype=jnp.float32)
+    sq = shard_params(qparams, CFG, mesh)
+
+    cache_ref = QuantizedKVCache.create(CFG, 2, S)
+    cache_tp = shard_cache(QuantizedKVCache.create(CFG, 2, S), mesh)
+
+    step_ref = jax.jit(lambda p, c, t, s: decode_step(p, c, t, s, CFG))
+    step_tp = jax.jit(make_tp_decode_step(sq, CFG, mesh))
+
+    tok = jnp.asarray([[5], [9]], jnp.int32)
+    pos = jnp.asarray([3, 7], jnp.int32)  # distinct per-row positions
+    lr, cache_ref = step_ref(qparams, cache_ref, tok, pos)
+    lt, cache_tp = step_tp(sq, cache_tp, tok, pos)
+
+    # Layer-0 K/V payloads are BIT-exact (its inputs are fully replicated);
+    # later layers see the slightly-different residual stream (per-shard
+    # act quant on wo/w2), so their int8 codes may flip by ±1.
+    np.testing.assert_array_equal(np.asarray(cache_tp.k)[0],
+                                  np.asarray(cache_ref.k)[0])
+    np.testing.assert_array_equal(np.asarray(cache_tp.v)[0],
+                                  np.asarray(cache_ref.v)[0])
+    np.testing.assert_allclose(np.asarray(cache_tp.k_scale)[0],
+                               np.asarray(cache_ref.k_scale)[0], rtol=1e-6)
+    dk = np.abs(np.asarray(cache_tp.k).astype(np.int32)
+                - np.asarray(cache_ref.k).astype(np.int32))
+    # Code deltas scale with the per-row scale difference (|code| up to
+    # 127): a few-percent scale shift moves large codes several quanta.
+    assert (dk != 0).mean() < 0.01 and dk.max() <= 8, (dk.max(), (dk != 0).mean())
+
+    ref, got = np.asarray(lr), np.asarray(lt)
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-2, rel
+
+
+def test_tp_engine_spmd_token_exact():
+    """The serving engine on a tp×dp mesh routes decode through the
+    shard_map Pallas path (engine/serving.py spmd wiring) and reproduces
+    the single-device engine's tokens exactly for a dense f32 model."""
+    from metalchat_tpu.engine.serving import ContinuousBatchingEngine, Request
+
+    params = init_random_params(CFG, seed=2, dtype=jnp.float32)
+    mesh = tp_mesh(tp=2, dp=2)
+    sparams = shard_params(params, CFG, mesh)
+
+    def run(engine_params, spmd):
+        engine = ContinuousBatchingEngine(
+            engine_params, CFG, max_slots=4, max_seq_len=64,
+            decode_burst=4, prefill_chunk=16, spmd_mesh=spmd,
+        )
+        out = engine.run([
+            Request(prompt=[1, 2, 3, 4, 5], max_new_tokens=6),
+            Request(prompt=[7, 8, 9], max_new_tokens=5),
+        ])
+        assert all(c.finished and c.error is None for c in out.values())
+        return [c.tokens for c in out.values()]
+
+    ref = run(params, None)
+    got = run(sparams, mesh)
+    assert ref == got, (ref, got)
