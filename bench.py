@@ -220,22 +220,17 @@ def main() -> None:
             Request(prompt=[1 + (i % 100)] * n, max_new_tokens=args.max_new)
             for i, n in enumerate(lengths)
         ]
-        # Warm the compile caches: one request per prefill bucket shape
-        # (chunks pad to power-of-two buckets ≤ prefill_chunk), and a
-        # max_new budget that walks through EVERY power-of-two burst size
-        # (16+8+4+2+1 for burst=16 — the budget rounds down to a power of
-        # two each dispatch) so no decode program compiles inside the
-        # measured window.
-        warm_new = 2 * args.burst - 1
-        engine.run([Request(prompt=[1] * n, max_new_tokens=warm_new)
-                    for n in (31, 63, 127, 255)])
-        # Second warm wave: a full-slot batch whose single decode step runs
-        # right after its prefills — the measured run's first decode hits
-        # the single-step program with a prefill-fresh cache, a combination
-        # the budget-walk wave above never exercises (it was observed to
-        # recompile mid-window otherwise).
-        engine.run([Request(prompt=[1] * 40, max_new_tokens=2)
-                    for _ in range(args.slots)])
+        # Warm the compile caches with an exact CLONE of the measured
+        # workload: the engine's scheduling is deterministic, so one full
+        # pre-run compiles precisely the program set the measured run will
+        # hit — prefill buckets, batched multi-slot prefill (k, bucket)
+        # combinations, every power-of-two burst size, and the
+        # prefill-fresh first-decode shape. (The previous hand-built warm
+        # waves missed the batched-prefill programs, putting ~20 s of
+        # compile inside the measured window.)
+        engine.run([Request(prompt=list(r.prompt),
+                            max_new_tokens=r.max_new_tokens)
+                    for r in requests])
         # The meter accumulated warmup TTFTs (compile-dominated) — reset so
         # the reported percentiles cover only the measured window.
         engine.meter = type(engine.meter)()

@@ -136,20 +136,59 @@ def load_scoped_manifest(store_dir: Optional[Path] = None) -> Manifest:
 # -------------------------------------------------------------- credentials
 
 
+class _SecretTool:
+    """libsecret CLI backend (`secret-tool`, freedesktop Secret Service —
+    the Linux analog of the reference's macOS Keychain, credential.h:20-50).
+    Used when the `keyring` package is absent but a desktop keyring daemon
+    is running; same three-call surface as the keyring module."""
+
+    def __init__(self, exe: str):
+        self.exe = exe
+
+    def set_password(self, service: str, host: str, token: str) -> None:
+        import subprocess
+
+        subprocess.run(
+            [self.exe, "store", "--label", f"{service}/{host}",
+             "service", service, "host", host],
+            input=token.encode(), check=True, capture_output=True)
+
+    def get_password(self, service: str, host: str) -> Optional[str]:
+        import subprocess
+
+        out = subprocess.run(
+            [self.exe, "lookup", "service", service, "host", host],
+            capture_output=True)
+        if out.returncode != 0:
+            return None
+        return out.stdout.decode().strip() or None
+
+    def delete_password(self, service: str, host: str) -> None:
+        import subprocess
+
+        subprocess.run([self.exe, "clear", "service", service, "host", host],
+                       capture_output=True, check=True)
+
+
 def _keyring():
-    """Optional OS keyring (reference: program/credential.h:20-50 uses the
-    macOS Keychain). When the `keyring` package is importable AND has a real
-    backend (not the fail/null one), tokens live there; otherwise the 0600
-    TOML file below is the store. Not a baked-in dependency — never required."""
+    """Optional OS secret store (reference: program/credential.h:20-50 uses
+    the macOS Keychain). Probe order: the `keyring` package with a real
+    backend, then the `secret-tool` CLI (libsecret / Secret Service);
+    otherwise the 0600 TOML file below is the store. Never required."""
     try:
         import keyring
         from keyring.backends.fail import Keyring as _Fail
 
-        if isinstance(keyring.get_keyring(), _Fail):
-            return None
-        return keyring
+        if not isinstance(keyring.get_keyring(), _Fail):
+            return keyring
     except Exception:
-        return None
+        pass
+    import shutil
+
+    exe = shutil.which("secret-tool")
+    if exe:
+        return _SecretTool(exe)
+    return None
 
 
 class CredentialStore:

@@ -308,6 +308,7 @@ def forward(
     with_aux: bool = False,
     fast_decode: bool = True,
     differentiable: bool = False,
+    allow_pallas: bool = True,
 ):
     """One model step (prefill when S>1, decode when S==1).
 
@@ -333,13 +334,10 @@ def forward(
         if with_aux:
             return logits, new_cache, jnp.zeros((), jnp.float32)
         return logits, new_cache
-    if start_pos.ndim == 1 and s > 1:
-        # The scan path writes all rows at one shared offset; per-row
-        # multi-token windows are a fast-path feature (decode_step scatters
-        # rows at per-row offsets — tests/test_decode_path.py).
-        raise ValueError(
-            "per-row start_pos with S > 1 needs the decode fast path "
-            "(dense cache, S <= 16)")
+    # Per-row start_pos with S > 1 is the batched multi-slot prefill shape
+    # (each row is its own chunk at its own offset): cache writes
+    # (_write_rows / positions_to_pages), masks and the flash kernel all
+    # take per-row offsets.
     offsets = start_pos if start_pos.ndim == 1 else jnp.broadcast_to(start_pos, (b,))
     positions = offsets[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 
@@ -366,7 +364,8 @@ def forward(
         x, params["layers"], cache_leaves, is_global,
         config=config, rope=params["rope"], positions=positions,
         offsets=offsets, start_pos=start_pos, quantized_cache=quantized,
-        page_table=page_table, remat=remat, allow_pallas=not differentiable,
+        page_table=page_table, remat=remat,
+        allow_pallas=allow_pallas and not differentiable,
     )
 
     logits = final_logits(params, x, config)

@@ -28,7 +28,7 @@ LANES = 128
 
 
 def _flash_kernel(
-    start_ref,     # SMEM [1] — dynamic start position of the q chunk
+    start_ref,     # SMEM [B] — per-row dynamic start position of the q chunk
     window_ref,    # SMEM [1] — sliding window, -1 = global
     q_ref,         # [1, 1, block_q, hd]
     k_ref,         # [1, 1, block_k, hd]
@@ -44,7 +44,7 @@ def _flash_kernel(
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
-    start = start_ref[0]
+    start = start_ref[pl.program_id(0)]
     window = window_ref[0]
     is_global = window < 0
 
@@ -104,7 +104,8 @@ def flash_attention(
     q: jax.Array,          # [B, S, nh, hd] — S new positions
     k: jax.Array,          # [B, nkv, T, hd] — cache (valid through start+S)
     v: jax.Array,
-    start_pos: jax.Array,  # scalar int32
+    start_pos: jax.Array,  # scalar int32, or [B] per-row starts (batched
+                           # multi-slot prefill: each row is its own chunk)
     *,
     scale: float,
     window=None,  # sliding window (dynamic scalar ok); None = global
@@ -162,5 +163,6 @@ def flash_attention(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(start_pos, jnp.int32).reshape(1), window_arr, q, k, v)
+    )(jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32).reshape(-1), (b,)),
+      window_arr, q, k, v)
     return jnp.swapaxes(out, 1, 2)  # back to [B, S, nh, hd]

@@ -84,10 +84,13 @@ def param_shardings(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
     # divide tp; otherwise replicate KV and shard only Q heads (the standard
     # trade when kv_heads < chips — attention stays communication-free).
     kv_spec = P(None, None, "tp") if config.num_kv_heads % tp == 0 else P(None, None, None)
+    # Vocab sharding needs divisibility; odd vocabs replicate (the embedding
+    # is read-mostly and the lm_head matmul still shards on its input).
+    vocab_axis = "tp" if config.vocab_size % tp == 0 else None
     specs = {
-        "embed": P("tp", None),           # [V, H] — vocab sharded
+        "embed": P(vocab_axis, None),     # [V, H] — vocab sharded
         "final_norm": P(None),
-        "lm_head": P(None, "tp"),         # [H, V] — vocab-parallel logits
+        "lm_head": P(None, vocab_axis),   # [H, V] — vocab-parallel logits
         "layers": {
             "attn_norm": P(None, None),
             "ffn_norm": P(None, None),
@@ -259,7 +262,34 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
     return jax.device_put(params, shardings)
 
 
+def paged_cache_partition_specs(mesh: Mesh, num_kv_heads: Optional[int] = None):
+    """PagedKVCache PartitionSpecs: kv-heads on tp (pages are a global pool,
+    replicated over dp — the page TABLES are per-row host state and shard
+    with the batch on dp, which is what makes multi-host paged serving
+    work: each dp rank only ever indexes its own rows)."""
+    from metalchat_tpu.cache import PagedKVCache
+
+    tp = mesh.shape["tp"]
+    dp = "dp" if "dp" in mesh.shape else None
+    head_axis = "tp" if (num_kv_heads is None or num_kv_heads % tp == 0) else None
+    return PagedKVCache(
+        k_pages=P(None, head_axis, None, None, None),   # [L, nkv, P, ps, hd]
+        v_pages=P(None, head_axis, None, None, None),
+        k_scale=P(None, None, head_axis, None),         # [L, P, nkv, ps]
+        v_scale=P(None, None, head_axis, None),
+        page_table=P(dp, None),
+        lengths=P(dp),
+    )
+
+
 def shard_cache(cache, mesh: Mesh):
+    from metalchat_tpu.cache import PagedKVCache
+
+    if isinstance(cache, PagedKVCache):
+        specs = paged_cache_partition_specs(mesh, cache.k_pages.shape[1])
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                 is_leaf=lambda x: isinstance(x, P))
+        return jax.device_put(cache, shardings)
     quantized = isinstance(cache, QuantizedKVCache)
     num_kv = cache.k.shape[2]
     return jax.device_put(cache, cache_shardings(mesh, quantized, num_kv))

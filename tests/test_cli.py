@@ -241,3 +241,100 @@ def test_cli_prompt_speculative(fake_checkout, store_home, capsys):
     # but tiny-CPU timing noise can land either way — just require the
     # measured line).
     assert "step ratio" in captured.err or "WARNING" in captured.err
+
+
+def test_secret_tool_backend(tmp_path, monkeypatch):
+    """CredentialStore routes through the `secret-tool` CLI (Secret Service)
+    when present: the token never lands in the TOML file (VERDICT r3
+    missing #2 — keychain-complete credentials)."""
+    from metalchat_tpu.cli.store import CredentialStore
+
+    # Fake secret-tool: store/lookup/clear against a json file.
+    db = tmp_path / "secrets.json"
+    tool = tmp_path / "secret-tool"
+    tool.write_text(f"""#!/usr/bin/env python3
+import json, sys, pathlib
+db = pathlib.Path({str(db)!r})
+data = json.loads(db.read_text()) if db.exists() else {{}}
+cmd = sys.argv[1]
+key = "|".join(sys.argv[-4:])
+if cmd == "store":
+    data[key] = sys.stdin.read()
+elif cmd == "lookup":
+    v = data.get(key)
+    if v is None: sys.exit(1)
+    sys.stdout.write(v)
+elif cmd == "clear":
+    data.pop(key, None)
+db.write_text(json.dumps(data))
+""")
+    tool.chmod(0o755)
+    import os
+
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+    import metalchat_tpu.cli.store as store_mod
+
+    store = CredentialStore(path=tmp_path / "config.toml")
+    assert isinstance(store._kr, store_mod._SecretTool)
+    store.add("huggingface.co", "hf_secret_token")
+    # Secret is NOT in the file — only the @keyring marker.
+    assert "hf_secret_token" not in (tmp_path / "config.toml").read_text()
+    assert store.get("huggingface.co") == "hf_secret_token"
+    assert store.list_hosts() == ["huggingface.co"]
+    store.remove("huggingface.co")
+    assert store.get("huggingface.co") is None
+
+
+def test_model_pull_http_with_auth(fake_checkout, tmp_path, monkeypatch, store_home):
+    """End-to-end `model pull` over HTTP with bearer auth (VERDICT r3 next
+    #8): a local server enforces the Authorization header; the token comes
+    from the credential store; the clone then serves a real session."""
+    import http.server
+    import threading
+
+    root = fake_checkout
+    TOKEN = "tok-12345"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _serve(self, head=False):
+            if self.headers.get("Authorization") != f"Bearer {TOKEN}":
+                self.send_response(401)
+                self.end_headers()
+                return
+            # /resolve/main/<file>
+            parts = self.path.split("/resolve/main/", 1)
+            p = root / (parts[1] if len(parts) == 2 else "missing")
+            if not p.exists():
+                self.send_response(404)
+                self.end_headers()
+                return
+            data = p.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if not head:
+                self.wfile.write(data)
+
+        def do_GET(self):
+            self._serve()
+
+        def do_HEAD(self):
+            self._serve(head=True)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/fake/model"
+        host = f"127.0.0.1:{srv.server_address[1]}"
+        # Without a credential the pull fails (401 on every file).
+        with pytest.raises(Exception):
+            main(["model", "pull", url, "--name", "authless"])
+        assert main(["credential", "add", host, TOKEN]) == 0
+        assert main(["model", "pull", url, "--name", "authed"]) == 0
+        rc = main(["prompt", "authed", "-c", "hi", "--max-tokens", "2"])
+        assert rc == 0
+    finally:
+        srv.shutdown()
