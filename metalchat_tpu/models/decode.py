@@ -44,8 +44,8 @@ from metalchat_tpu.ops.a8_matvec_pallas import (
     quant_matvec_stacked_fused,
 )
 from metalchat_tpu.ops.decode_attention_pallas import (
-    decode_attention_quantized_stacked,
     decode_attention_stacked,
+    decode_attention_update_quantized_stacked,
 )
 from metalchat_tpu.quant.quantize import (
     LoraLinear,
@@ -307,24 +307,31 @@ def decode_step(
         if config.sliding_window is not None:
             window = jnp.where(is_global[l], -1, config.sliding_window)
 
-        if quantized:
+        lengths = offsets + s
+        if use_kernel_attn and quantized:
+            # Fused path: quantize + cache-write + attention in ONE kernel
+            # (aliased in-place outputs) — the separate update would cost
+            # two quantize chains + four DUS per layer (~105 µs/step at 8B,
+            # docs/performance.md).
+            block_t = min(256, kv_len)
+            attn, *new_leaves = decode_attention_update_quantized_stacked(
+                q[:, 0], k[:, 0], v[:, 0], *leaves, l, lengths,
+                scale=scale, window=window, block_t=block_t)
+            new_leaves = tuple(new_leaves)
+        elif quantized:
             ck, cv, sk, sv = leaves
             new_leaves = update_stacked_layer_cache_quantized(
                 ck, cv, sk, sv, k, v, l, start_pos)
         else:
             new_leaves = update_stacked_layer_cache(*leaves, k, v, l, start_pos)
 
-        lengths = offsets + s
-        if use_kernel_attn:
+        if use_kernel_attn and quantized:
+            pass  # attn computed above
+        elif use_kernel_attn:
             block_t = min(256, kv_len)
-            if quantized:
-                attn = decode_attention_quantized_stacked(
-                    q[:, 0], *new_leaves, l, lengths, scale=scale,
-                    window=window, block_t=block_t)
-            else:
-                attn = decode_attention_stacked(
-                    q[:, 0], *new_leaves, l, lengths, scale=scale,
-                    window=window, block_t=block_t)
+            attn = decode_attention_stacked(
+                q[:, 0], *new_leaves, l, lengths, scale=scale,
+                window=window, block_t=block_t)
         else:
             if quantized:
                 ck, cv, sk, sv = new_leaves

@@ -359,3 +359,242 @@ def _decode_kernel_dispatch(lengths_ref, window_ref, *refs, block_t, scale, quan
             lengths_ref, window_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             block_t=block_t, scale=scale, quantized=False,
         )
+
+
+# ------------------------------------------------------------------ fused
+# attention + KV-quantize + cache-write (the decode step's per-layer cache
+# update folded into the attention kernel).
+
+
+def _quantize_row(x):
+    """In-kernel mirror of cache.quantize_kv over the last axis.
+
+    x f32 [nkv, hd] → (int8 [nkv, hd], f32 scale [nkv, 1]). Same op order
+    as quantize_kv so the fused path is bit-identical to quantize-then-
+    attend (tests/test_decode_attention.py)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = absmax / 127.0
+    inv = jnp.where(scale == 0.0, 0.0, 1.0 / scale)
+    q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _decode_update_kernel(
+    lengths_ref,   # SMEM [B] — INCLUDING the new token (q sits at length-1)
+    window_ref,    # SMEM [1]
+    layer_ref,     # SMEM [1]
+    q_ref,         # [1, n_kv, groups, hd]
+    kn_ref,        # [1, n_kv, hd] — the new K row (post-rope, unquantized)
+    vn_ref,
+    k_ref,         # [1, 1, n_kv, block_t, hd] int8 cache block
+    v_ref,
+    ks_ref,        # [1, 1, n_kv, block_t] f32
+    vs_ref,
+    o_ref,         # [1, n_kv, groups, hd]
+    ck_ref,        # aliased cache outputs — every grid step maps to the
+    cv_ref,        #   block holding `pos`; written once (same revisited-
+    csk_ref,       #   block pattern as o_ref, flushed at the row's end)
+    csv_ref,
+    m_ref, l_ref, acc_ref,
+    *,
+    block_t: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    length = lengths_ref[b]
+    window = window_ref[0]
+    is_global = window < 0
+    pos = jnp.maximum(length - 1, 0)
+    pos_block = pos // block_t
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    start = t * block_t
+    in_range = start < length
+    in_range &= is_global | (start + block_t > length - 1 - window)
+    is_pos_blk = t == pos_block
+
+    nkv, groups, hd = q_ref.shape[-3:]
+
+    # Quantize the incoming row (tiny VPU work; recomputed per visited
+    # block — cheaper than a cross-step carry).
+    kn = kn_ref[...].astype(jnp.float32).reshape(nkv, hd)
+    vn = vn_ref[...].astype(jnp.float32).reshape(nkv, hd)
+    qk_new, sk_new = _quantize_row(kn)
+    qv_new, sv_new = _quantize_row(vn)
+
+    @pl.when(in_range)
+    def _run():
+        q = q_ref[...].astype(jnp.float32).reshape(nkv, groups, hd)
+        k_blk = k_ref[...].reshape(nkv, block_t, hd)
+        v_blk = v_ref[...].reshape(nkv, block_t, hd)
+        ks_row = ks_ref[...].astype(jnp.float32).reshape(nkv, block_t)
+        vs_row = vs_ref[...].astype(jnp.float32).reshape(nkv, block_t)
+
+        # Substitute the new row into the block that holds `pos` — the
+        # cache itself still holds stale bytes there; they are never read.
+        row = jax.lax.broadcasted_iota(jnp.int32, (nkv, block_t), 1)
+        sub = is_pos_blk & (row == pos - start)           # [nkv, block_t]
+        k_use = jnp.where(sub[:, :, None], qk_new[:, None, :], k_blk)
+        v_use = jnp.where(sub[:, :, None], qv_new[:, None, :], v_blk)
+        ks_use = jnp.where(sub, jnp.broadcast_to(sk_new, ks_row.shape), ks_row)
+        vs_use = jnp.where(sub, jnp.broadcast_to(sv_new, vs_row.shape), vs_row)
+
+        s = jax.lax.dot_general(
+            q, k_use.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s * ks_use.reshape(nkv, 1, block_t)
+
+        kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        ok = kv_pos < length
+        ok &= is_global | (kv_pos > length - 1 - window)
+        s = jnp.where(ok, s, MASK_VALUE)
+
+        m_prev = m_ref[:, :, :1]
+        l_prev = l_ref[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        p = p * vs_use.reshape(nkv, 1, block_t)
+        o_curr = jax.lax.dot_general(
+            p, v_use.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + o_curr
+
+        # Write the updated pos block back through the aliased outputs
+        # (their index maps pin the pos block for every t, so this write
+        # persists in VMEM and flushes once at the row's last step).
+        @pl.when(is_pos_blk)
+        def _write():
+            ck_ref[...] = k_use.reshape(ck_ref.shape)
+            cv_ref[...] = v_use.reshape(cv_ref.shape)
+            csk_ref[...] = ks_use.astype(csk_ref.dtype).reshape(csk_ref.shape)
+            csv_ref[...] = vs_use.astype(csv_ref.dtype).reshape(csv_ref.shape)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _finish():
+        l = l_ref[:, :, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[...] = (acc_ref[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_t", "interpret"))
+def decode_attention_update_quantized_stacked(
+    q: jax.Array,          # [B, nh, hd] (post-rope)
+    k_new: jax.Array,      # [B, n_kv, hd] (post-rope, unquantized)
+    v_new: jax.Array,
+    k: jax.Array,          # int8 [L, B, n_kv, T, hd] — updated IN PLACE
+    v: jax.Array,
+    k_scale: jax.Array,    # f32 [L, B, n_kv, T]
+    v_scale: jax.Array,
+    layer: jax.Array,
+    lengths: jax.Array,    # [B] — INCLUDING the new token
+    *,
+    scale: float,
+    window=None,
+    block_t: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Fused decode step: quantize the new K/V row, write it into layer
+    `layer` of the stacked int8 cache (aliased in-place outputs), and
+    attend over the updated cache — one kernel instead of two quantize
+    chains + four dynamic_update_slices + the attention call (~105 µs of
+    per-layer epilogue on the 8B decode trace, docs/performance.md).
+
+    Returns (attn [B, nh, hd], k, v, k_scale, v_scale). Numerically
+    identical to update_stacked_layer_cache_quantized +
+    decode_attention_quantized_stacked (same quantization op order; the
+    only difference is that the new row's bytes flow from registers
+    instead of HBM)."""
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
+    b, nh, hd = q.shape
+    L, _, nkv, t_max, _ = k.shape
+    groups = nh // nkv
+    block_t = min(block_t, t_max)
+    assert t_max % block_t == 0, (t_max, block_t)
+
+    grid = (b, t_max // block_t)
+    q4 = q.reshape(b, nkv, groups, hd)
+
+    def kv_map(bb, tt, lens, win, lay):
+        return (lay[0], bb, 0, _block_clamp(tt, lens, win, bb, block_t), 0)
+
+    def scale_map(bb, tt, lens, win, lay):
+        return (lay[0], bb, 0, _block_clamp(tt, lens, win, bb, block_t))
+
+    def pos_kv_map(bb, tt, lens, win, lay):
+        return (lay[0], bb, 0, jnp.maximum(lens[bb] - 1, 0) // block_t, 0)
+
+    def pos_scale_map(bb, tt, lens, win, lay):
+        return (lay[0], bb, 0, jnp.maximum(lens[bb] - 1, 0) // block_t)
+
+    in_specs = [
+        pl.BlockSpec((1, nkv, groups, hd), lambda bb, tt, *_: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, nkv, hd), lambda bb, tt, *_: (bb, 0, 0)),
+        pl.BlockSpec((1, nkv, hd), lambda bb, tt, *_: (bb, 0, 0)),
+        pl.BlockSpec((1, 1, nkv, block_t, hd), kv_map),
+        pl.BlockSpec((1, 1, nkv, block_t, hd), kv_map),
+        pl.BlockSpec((1, 1, nkv, block_t), scale_map),
+        pl.BlockSpec((1, 1, nkv, block_t), scale_map),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, nkv, groups, hd), q.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+        jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+        jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, nkv, groups, hd), lambda bb, tt, *_: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, 1, nkv, block_t, hd), pos_kv_map),
+        pl.BlockSpec((1, 1, nkv, block_t, hd), pos_kv_map),
+        pl.BlockSpec((1, 1, nkv, block_t), pos_scale_map),
+        pl.BlockSpec((1, 1, nkv, block_t), pos_scale_map),
+    ]
+
+    if window is None:
+        window_arr = jnp.full((1,), -1, jnp.int32)
+    else:
+        window_arr = jnp.asarray(window, jnp.int32).reshape(1)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(_decode_update_kernel, block_t=block_t,
+                               scale=scale)
+    # Positional inputs: 3 scalar-prefetch + 7 arrays; the cache arrays
+    # (positions 6..9 counting every operand) alias outputs 1..4.
+    attn, k, v, k_scale, v_scale = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((nkv, groups, LANES), jnp.float32),
+                pltpu.VMEM((nkv, groups, LANES), jnp.float32),
+                pltpu.VMEM((nkv, groups, hd), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), window_arr, layer_arr,
+      q4, k_new, v_new, k, v, k_scale, v_scale)
+    return attn.reshape(b, nh, hd), k, v, k_scale, v_scale

@@ -90,3 +90,46 @@ def test_gqa_grouping():
         )
         expect = _xla_ref(q, k, v, lengths, 0.1)
         np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_update_attention_matches_reference():
+    """decode_attention_update_quantized_stacked == quantize + 4 DUS +
+    decode_attention_quantized_stacked, bit-exact for the cache payloads
+    (same quantization op order) and to float tolerance for the attention
+    output — including a row whose position sits exactly on a block
+    boundary and a sliding window."""
+    from metalchat_tpu.cache import update_stacked_layer_cache_quantized
+    from metalchat_tpu.ops.decode_attention_pallas import (
+        decode_attention_quantized_stacked,
+        decode_attention_update_quantized_stacked,
+    )
+
+    rng = np.random.default_rng(0)
+    L, B, nkv, T, hd, nh = 2, 3, 2, 512, 128, 4
+    k = jnp.asarray(rng.integers(-127, 127, (L, B, nkv, T, hd)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 127, (L, B, nkv, T, hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, B, nkv, T)), jnp.float32) * 0.01
+    vs = jnp.asarray(rng.random((L, B, nkv, T)), jnp.float32) * 0.01
+    q = jnp.asarray(rng.standard_normal((B, nh, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, 1, nkv, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, 1, nkv, hd)), jnp.float32)
+    start_pos = jnp.asarray([5, 255, 256], jnp.int32)  # incl. block edge
+    lengths = start_pos + 1
+    layer = jnp.asarray(1, jnp.int32)
+    scale = hd**-0.5
+
+    for window in (None, 300):
+        ck, cv, sk2, sv2 = update_stacked_layer_cache_quantized(
+            k, v, ks, vs, kn, vn, layer, start_pos)
+        ref = decode_attention_quantized_stacked(
+            q, ck, cv, sk2, sv2, layer, lengths, scale=scale, window=window,
+            block_t=256)
+        attn, fk, fv, fks, fvs = decode_attention_update_quantized_stacked(
+            q, kn[:, 0], vn[:, 0], k, v, ks, vs, layer, lengths,
+            scale=scale, window=window, block_t=256)
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(ref),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fk), np.asarray(ck))
+        np.testing.assert_array_equal(np.asarray(fv), np.asarray(cv))
+        np.testing.assert_allclose(np.asarray(fks), np.asarray(sk2))
+        np.testing.assert_allclose(np.asarray(fvs), np.asarray(sv2))
