@@ -422,31 +422,35 @@ def _decode_update_kernel(
     nkv, groups, hd = q_ref.shape[-3:]
 
     # Quantize the incoming row (tiny VPU work; recomputed per visited
-    # block — cheaper than a cross-step carry).
+    # block — cheaper than a cross-step carry). Integer values kept in f32
+    # registers: the merge below must run in 32-bit — Mosaic only supports
+    # non-no-op minor-dim insertion (the broadcasts) for 32-bit types.
     kn = kn_ref[...].astype(jnp.float32).reshape(nkv, hd)
     vn = vn_ref[...].astype(jnp.float32).reshape(nkv, hd)
-    qk_new, sk_new = _quantize_row(kn)
+    qk_new, sk_new = _quantize_row(kn)    # f32 codes (exact ints), f32 scale
     qv_new, sv_new = _quantize_row(vn)
 
     @pl.when(in_range)
     def _run():
         q = q_ref[...].astype(jnp.float32).reshape(nkv, groups, hd)
-        k_blk = k_ref[...].reshape(nkv, block_t, hd)
-        v_blk = v_ref[...].reshape(nkv, block_t, hd)
+        k_blk = k_ref[...].astype(jnp.float32).reshape(nkv, block_t, hd)
+        v_blk = v_ref[...].astype(jnp.float32).reshape(nkv, block_t, hd)
         ks_row = ks_ref[...].astype(jnp.float32).reshape(nkv, block_t)
         vs_row = vs_ref[...].astype(jnp.float32).reshape(nkv, block_t)
 
         # Substitute the new row into the block that holds `pos` — the
         # cache itself still holds stale bytes there; they are never read.
+        row3 = jax.lax.broadcasted_iota(jnp.int32, (nkv, block_t, hd), 1)
+        sel3 = is_pos_blk & (row3 == pos - start)
+        k_use = jnp.where(sel3, qk_new[:, None, :], k_blk)
+        v_use = jnp.where(sel3, qv_new[:, None, :], v_blk)
         row = jax.lax.broadcasted_iota(jnp.int32, (nkv, block_t), 1)
         sub = is_pos_blk & (row == pos - start)           # [nkv, block_t]
-        k_use = jnp.where(sub[:, :, None], qk_new[:, None, :], k_blk)
-        v_use = jnp.where(sub[:, :, None], qv_new[:, None, :], v_blk)
         ks_use = jnp.where(sub, jnp.broadcast_to(sk_new, ks_row.shape), ks_row)
         vs_use = jnp.where(sub, jnp.broadcast_to(sv_new, vs_row.shape), vs_row)
 
         s = jax.lax.dot_general(
-            q, k_use.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+            q, k_use, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         s = s * ks_use.reshape(nkv, 1, block_t)
@@ -468,7 +472,7 @@ def _decode_update_kernel(
 
         p = p * vs_use.reshape(nkv, 1, block_t)
         o_curr = jax.lax.dot_general(
-            p, v_use.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            p, v_use, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * alpha + o_curr
@@ -478,8 +482,8 @@ def _decode_update_kernel(
         # persists in VMEM and flushes once at the row's last step).
         @pl.when(is_pos_blk)
         def _write():
-            ck_ref[...] = k_use.reshape(ck_ref.shape)
-            cv_ref[...] = v_use.reshape(cv_ref.shape)
+            ck_ref[...] = k_use.astype(ck_ref.dtype).reshape(ck_ref.shape)
+            cv_ref[...] = v_use.astype(cv_ref.dtype).reshape(cv_ref.shape)
             csk_ref[...] = ks_use.astype(csk_ref.dtype).reshape(csk_ref.shape)
             csv_ref[...] = vs_use.astype(csv_ref.dtype).reshape(csv_ref.shape)
 
