@@ -256,6 +256,15 @@ def decode_step(
         kv_len % min(256, kv_len) == 0 and kv_len >= 128
 
     fuse_norms = use_pallas() and config.norm_type != "layernorm"
+    # Pre-shape the norm stacks ONCE: the fused matvec wants [L, 1, in]
+    # operands, and reshaping inside the layer loop copies the whole stack
+    # per iteration (92 µs/step for the two norms on the 8B r4 trace).
+    norms3 = {}
+    if fuse_norms:
+        for _n in ("attn_norm", "ffn_norm"):
+            _leaf = layers.get(_n)
+            if _leaf is not None and not isinstance(_leaf, (QuantizedTensor, LoraLinear)):
+                norms3[_n] = _leaf[:, None, :]
 
     def body(l, carry):
         x, leaves = carry
@@ -268,11 +277,12 @@ def decode_step(
             dispatches gone at 8B). Ineligible leaves fall back to one
             shared normed activation."""
             leaf = layers[name]
-            if (fuse_norms and isinstance(leaf, QuantizedTensor)
+            if (fuse_norms and norm_name in norms3
+                    and isinstance(leaf, QuantizedTensor)
                     and leaf.q.ndim == 3 and _kernel_ok(leaf)):
                 return quant_matvec_stacked_fused(
                     x_res, leaf.q, leaf.scales, l, bits=leaf.bits,
-                    norm_stack=layers[norm_name], norm_eps=eps,
+                    norm_stack=norms3[norm_name], norm_eps=eps,
                     norm_offset=mu)
             if norm_name not in cache:
                 cache[norm_name] = norm(x_res, norm_name, l)

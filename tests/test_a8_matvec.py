@@ -111,6 +111,6 @@ def test_fused_norm_matches_norm_outside(bits):
                                               block_out=256, interpret=True)
             got = quant_matvec_stacked_fused(
                 x, p, s, l, bits=bits, block_out=256, interpret=True,
-                norm_stack=nw, norm_eps=1e-5, norm_offset=mu)
+                norm_stack=nw[:, None, :], norm_eps=1e-5, norm_offset=mu)
             np.testing.assert_array_equal(np.asarray(got, np.float32),
                                           np.asarray(want, np.float32))

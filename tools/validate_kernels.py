@@ -76,7 +76,7 @@ def main() -> None:
                  x, p4j, sj, li, bits=4, interpret=interp)),
             ("int4 fused norm+act-quant", False,
              lambda interp: quant_matvec_stacked_fused(
-                 x, p4j, sj, li, bits=4, norm_stack=nwj, norm_eps=1e-5,
+                 x, p4j, sj, li, bits=4, norm_stack=nwj[:, None, :], norm_eps=1e-5,
                  interpret=interp)),
         ]
         for name, exact, fn in pairs:
