@@ -438,24 +438,28 @@ def _decode_update_kernel(
         ks_row = ks_ref[...].astype(jnp.float32).reshape(nkv, block_t)
         vs_row = vs_ref[...].astype(jnp.float32).reshape(nkv, block_t)
 
-        # Substitute the new row into the block that holds `pos` — the
-        # cache itself still holds stale bytes there; they are never read.
-        row3 = jax.lax.broadcasted_iota(jnp.int32, (nkv, block_t, hd), 1)
-        sel3 = is_pos_blk & (row3 == pos - start)
-        k_use = jnp.where(sel3, qk_new[:, None, :], k_blk)
-        v_use = jnp.where(sel3, qv_new[:, None, :], v_blk)
-        row = jax.lax.broadcasted_iota(jnp.int32, (nkv, block_t), 1)
-        sub = is_pos_blk & (row == pos - start)           # [nkv, block_t]
-        ks_use = jnp.where(sub, jnp.broadcast_to(sk_new, ks_row.shape), ks_row)
-        vs_use = jnp.where(sub, jnp.broadcast_to(sv_new, vs_row.shape), vs_row)
-
+        # The cache block holds STALE bytes at `pos`; rather than merging
+        # the new row into the full [nkv, block_t, hd] block (4 full-block
+        # wheres per visited step — measured ~3 µs/layer), the new token
+        # enters at SCORE level: its column of s is recomputed from a tiny
+        # batched q·k_new dot, and its V contribution is added as an outer
+        # product after zeroing the stale column. The stale bytes never
+        # influence the output; the block merge happens once, at the write.
         s = jax.lax.dot_general(
-            q, k_use, (((2,), (2,)), ((0,), (0,))),
+            q, k_blk, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = s * ks_use.reshape(nkv, 1, block_t)
+        s = s * ks_row.reshape(nkv, 1, block_t)
 
         kv_pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        col = kv_pos == pos                         # new-token column (only
+        s_new = jax.lax.dot_general(                # nonzero in pos block)
+            q, qk_new[:, None, :],                  # rhs [B, 1, K] — the
+            (((2,), (2,)), ((0,), (0,))),           # vector-like shape
+            preferred_element_type=jnp.float32,     # Mosaic's dot supports
+        ) * (scale * sk_new.reshape(nkv, 1, 1))     # → [nkv, groups, 1]
+        s = jnp.where(col, s_new, s)
+
         ok = kv_pos < length
         ok &= is_global | (kv_pos > length - 1 - window)
         s = jnp.where(ok, s, MASK_VALUE)
@@ -470,11 +474,16 @@ def _decode_update_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
+        colf = col.astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (nkv, block_t), 1)
+        sub = is_pos_blk & (row == pos - start)           # [nkv, block_t]
+        vs_use = jnp.where(sub, jnp.broadcast_to(sv_new, vs_row.shape), vs_row)
         p = p * vs_use.reshape(nkv, 1, block_t)
+        p_pos = jnp.sum(p * colf, axis=2)                 # [nkv, groups]
         o_curr = jax.lax.dot_general(
-            p, v_use, (((2,), (1,)), ((0,), (0,))),
+            p * (1.0 - colf), v_blk, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ) + p_pos[:, :, None] * qv_new[:, None, :]
         acc_ref[...] = acc_ref[...] * alpha + o_curr
 
         # Write the updated pos block back through the aliased outputs
@@ -482,6 +491,12 @@ def _decode_update_kernel(
         # persists in VMEM and flushes once at the row's last step).
         @pl.when(is_pos_blk)
         def _write():
+            row3 = jax.lax.broadcasted_iota(jnp.int32, (nkv, block_t, hd), 1)
+            sel3 = row3 == pos - start
+            k_use = jnp.where(sel3, qk_new[:, None, :], k_blk)
+            v_use = jnp.where(sel3, qv_new[:, None, :], v_blk)
+            ks_use = jnp.where(sub, jnp.broadcast_to(sk_new, ks_row.shape),
+                               ks_row)
             ck_ref[...] = k_use.astype(ck_ref.dtype).reshape(ck_ref.shape)
             cv_ref[...] = v_use.astype(cv_ref.dtype).reshape(cv_ref.shape)
             csk_ref[...] = ks_use.astype(csk_ref.dtype).reshape(csk_ref.shape)
