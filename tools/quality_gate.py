@@ -208,7 +208,8 @@ def main() -> None:
     }
     if long_ctx:
         quality["long_context"] = {"seq": long_seq, **{
-            k: round(v, 5) for k, v in long_ctx.items()}}
+            k: (round(v, 5) if isinstance(v, float) else v)
+            for k, v in long_ctx.items()}}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, args.out + ".json"), "w") as fh:
         json.dump(quality, fh, indent=1)
