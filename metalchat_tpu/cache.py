@@ -246,6 +246,40 @@ def update_stacked_layer_cache_quantized(
     )
 
 
+def update_stacked_paged_cache(
+    k_pages, v_pages, k_scale, v_scale,   # [L, nkv, P+1, ps, hd] / [L, P+1, nkv, ps]
+    k, v,                 # [B, 1, n_kv, hd] new rows (model-natural layout)
+    layer,                # scalar int32
+    page, offset,         # int32 [B] — physical page / in-page offset per row
+):
+    """Decode-path paged cache write: quantize one new K/V row per batch row
+    and write it into layer `layer` of the STACKED page pool with chained
+    per-row dynamic_update_slices (B is static — same no-vmap discipline as
+    `_write_rows_stacked`; a batched scatter earns a layout flip).
+
+    Rows whose page is the sentinel write into the reserved garbage page
+    (PagedKVCache.create allocates P+1 physical pages), mirroring the scan
+    path's mode="drop" scatter semantics."""
+    qk, sk = quantize_kv(jnp.swapaxes(k, 1, 2))   # [B, nkv, 1, hd] / [B, nkv, 1]
+    qv, sv = quantize_kv(jnp.swapaxes(v, 1, 2))
+    layer = jnp.asarray(layer, jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    nkv, hd = qk.shape[1], qk.shape[3]
+    for b in range(k.shape[0]):
+        pg, off = page[b], offset[b]
+        k_pages = jax.lax.dynamic_update_slice(
+            k_pages, qk[b].reshape(1, nkv, 1, 1, hd),
+            (layer, zero, pg, off, zero))
+        v_pages = jax.lax.dynamic_update_slice(
+            v_pages, qv[b].reshape(1, nkv, 1, 1, hd),
+            (layer, zero, pg, off, zero))
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, sk[b].reshape(1, 1, -1, 1), (layer, pg, zero, off))
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, sv[b].reshape(1, 1, -1, 1), (layer, pg, zero, off))
+    return k_pages, v_pages, k_scale, v_scale
+
+
 def roll_kv_cache(cache, num_sink: int, shift: int):
     """Attention-sinks eviction: keep slots [0, num_sink), roll the rest left
     by `shift`, clearing the tail for reuse.
@@ -309,9 +343,15 @@ class PagedKVCache:
         # page_size multiple (matches engine/serving.py's sizing — a floor
         # here silently under-covers e.g. max_seq_len=384 at page_size=256).
         mps = max_pages_per_seq or -(-config.max_seq_len // page_size)
-        shape = (config.num_layers, config.num_kv_heads, num_pages, page_size,
-                 config.head_dim)
-        sshape = (config.num_layers, num_pages, config.num_kv_heads, page_size)
+        # One RESERVED garbage page at index `num_pages` (the engine's
+        # sentinel value): writes routed to an unallocated page-table slot
+        # land there harmlessly instead of clamping onto a live page, and
+        # clamped sentinel READS pull masked garbage instead of a real
+        # sequence's KV. The allocator only ever hands out [0, num_pages).
+        shape = (config.num_layers, config.num_kv_heads, num_pages + 1,
+                 page_size, config.head_dim)
+        sshape = (config.num_layers, num_pages + 1, config.num_kv_heads,
+                  page_size)
         return cls(
             k_pages=jnp.zeros(shape, jnp.int8),
             v_pages=jnp.zeros(shape, jnp.int8),

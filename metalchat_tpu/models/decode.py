@@ -32,10 +32,15 @@ import jax.numpy as jnp
 
 from metalchat_tpu.cache import (
     KVCache,
+    PagedKVCache,
     QuantizedKVCache,
     dequantize_kv,
+    gather_page_scales,
+    gather_pages_dense,
+    positions_to_pages,
     update_stacked_layer_cache,
     update_stacked_layer_cache_quantized,
+    update_stacked_paged_cache,
 )
 from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.ops import use_pallas, xla as ops
@@ -46,6 +51,9 @@ from metalchat_tpu.ops.a8_matvec_pallas import (
 from metalchat_tpu.ops.decode_attention_pallas import (
     decode_attention_stacked,
     decode_attention_update_quantized_stacked,
+)
+from metalchat_tpu.ops.paged_attention_pallas import (
+    paged_decode_attention_stacked,
 )
 from metalchat_tpu.quant.quantize import (
     LoraLinear,
@@ -131,7 +139,6 @@ def params_partitioned(params) -> bool:
 
 def supports_fast_decode(params: Dict[str, Any], cache, config: ModelConfig,
                          tokens: jax.Array) -> bool:
-    from metalchat_tpu.cache import PagedKVCache
 
     # Multi-token windows up to 16 ride the same stacked-matvec path with
     # rows flattened to [B*s] (weights are still read once per window, so a
@@ -147,9 +154,13 @@ def supports_fast_decode(params: Dict[str, Any], cache, config: ModelConfig,
     # eager sharded callers fall back to the partitionable XLA path here.
     if use_pallas() and params_partitioned(params):
         return False
+    # Paged caches ride the fast path for single-token steps (the stacked
+    # paged-attention kernel + per-row page writes); multi-token windows
+    # keep the scan path (its scatter handles [B, S] position grids).
+    paged_ok = tokens.shape[1] == 1 or not isinstance(cache, PagedKVCache)
     return (
         tokens.shape[1] <= 16
-        and not isinstance(cache, PagedKVCache)
+        and paged_ok
         and not config.num_experts
     )
 
@@ -234,11 +245,18 @@ def decode_step(
     is_global = jnp.asarray(
         [config.layer_is_global(i) for i in range(L)])
 
-    if quantized:
+    paged = isinstance(cache, PagedKVCache)
+    if paged:
+        leaves = (cache.k_pages, cache.v_pages, cache.k_scale, cache.v_scale)
+        psize = cache.page_size
+        page_table = cache.page_table
+        kv_len = page_table.shape[1] * psize
+    elif quantized:
         leaves = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+        kv_len = leaves[0].shape[3]
     else:
         leaves = (cache.k, cache.v)
-    kv_len = leaves[0].shape[3]
+        kv_len = leaves[0].shape[3]
 
     def norm(h, name, l):
         w = _slice_layer(layers[name], l)
@@ -252,8 +270,11 @@ def decode_step(
             return y + _slice_layer(layers[name], l)
         return y
 
-    use_kernel_attn = s == 1 and use_pallas() and \
-        kv_len % min(256, kv_len) == 0 and kv_len >= 128
+    if paged:
+        use_kernel_attn = s == 1 and use_pallas()
+    else:
+        use_kernel_attn = s == 1 and use_pallas() and \
+            kv_len % min(256, kv_len) == 0 and kv_len >= 128
 
     fuse_norms = use_pallas() and config.norm_type != "layernorm"
     # Pre-shape the norm stacks ONCE: the fused matvec wants [L, 1, in]
@@ -318,7 +339,34 @@ def decode_step(
             window = jnp.where(is_global[l], -1, config.sliding_window)
 
         lengths = offsets + s
-        if use_kernel_attn and quantized:
+        if paged:
+            # Stacked paged fast path: per-row page writes (chained DUS, no
+            # vmapped scatter) + the layer-indexed paged attention kernel —
+            # the scan path materializes each layer's page-pool slice for
+            # its Pallas call, a full extra cache read+write per step.
+            pg, off = positions_to_pages(page_table, positions, psize)
+            new_leaves = update_stacked_paged_cache(
+                *leaves, k, v, l, pg[:, 0], off[:, 0])
+            if use_kernel_attn:
+                attn = paged_decode_attention_stacked(
+                    q[:, 0], *new_leaves, page_table, lengths, l,
+                    scale=scale, window=window)
+            else:
+                kp, vp, ksc, vsc = (_slice_layer(a, l) for a in new_leaves)
+                keys = dequantize_kv(gather_pages_dense(kp, page_table),
+                                     gather_page_scales(ksc, page_table),
+                                     x.dtype)
+                values = dequantize_kv(gather_pages_dense(vp, page_table),
+                                       gather_page_scales(vsc, page_table),
+                                       x.dtype)
+                valid = lengths[:, None, None]
+                mask = ops.causal_mask(positions, kv_len, valid)
+                if config.sliding_window is not None:
+                    sliding = ops.causal_mask(positions, kv_len, valid,
+                                              config.sliding_window)
+                    mask = jnp.where(is_global[l], mask, sliding)
+                attn = ops.attention(q, keys, values, mask, scale=scale)
+        elif use_kernel_attn and quantized:
             # Fused path: quantize + cache-write + attention in ONE kernel
             # (aliased in-place outputs) — the separate update would cost
             # two quantize chains + four DUS per layer (~105 µs/step at 8B,
@@ -335,7 +383,7 @@ def decode_step(
         else:
             new_leaves = update_stacked_layer_cache(*leaves, k, v, l, start_pos)
 
-        if use_kernel_attn and quantized:
+        if paged or (use_kernel_attn and quantized):
             pass  # attn computed above
         elif use_kernel_attn:
             block_t = min(256, kv_len)
@@ -400,7 +448,10 @@ def decode_step(
         x = ops.rms_norm(x, params["final_norm"], eps=eps, offset=mu)
     logits = _lm_head(x, params["lm_head"]).astype(jnp.float32).reshape(b, s, -1)
 
-    if quantized:
+    if paged:
+        new_cache = PagedKVCache(*leaves, page_table=cache.page_table,
+                                 lengths=cache.lengths)
+    elif quantized:
         new_cache = QuantizedKVCache(*leaves)
     else:
         new_cache = KVCache(*leaves)

@@ -192,3 +192,82 @@ def paged_decode_attention(
     )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), window_arr,
       q4, k_pages, v_pages, k_scale, v_scale)
     return out.reshape(b, nh, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_decode_attention_stacked(
+    q: jax.Array,           # [B, nh, hd]
+    k_pages: jax.Array,     # int8 [L, n_kv, P(+1), psize, hd]
+    v_pages: jax.Array,
+    k_scale: jax.Array,     # f32 [L, P(+1), n_kv, psize]
+    v_scale: jax.Array,
+    page_table: jax.Array,  # int32 [B, max_pages_per_seq]
+    lengths: jax.Array,     # int32 [B]
+    layer: jax.Array,       # scalar int32
+    *,
+    scale: float,
+    window=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """`paged_decode_attention` reading layer `layer` of the STACKED page
+    pool directly (scalar-prefetched index — same reason as the dense
+    `decode_attention_*_stacked` variants: a per-layer slice fed from a
+    `lax.scan` materializes the whole slice per step; the decode fast
+    path's fori_loop + index-map read streams only the visited pages)."""
+    from metalchat_tpu.ops import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
+    b, nh, hd = q.shape
+    L, n_kv, num_pages, psize, _ = k_pages.shape
+    groups = nh // n_kv
+    mp = page_table.shape[1]
+    q4 = q.reshape(b, n_kv, groups, hd)
+
+    if window is None:
+        window_arr = jnp.full((1,), -1, jnp.int32)
+    else:
+        window_arr = jnp.asarray(window, jnp.int32).reshape(1)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    limit = num_pages - 1
+
+    def page_map(bb, i, pt, lens, win, lay):
+        return (lay[0], 0, _page_clamp(i, pt, lens, win, bb, psize, limit), 0, 0)
+
+    def scales_map(bb, i, pt, lens, win, lay):
+        return (lay[0], _page_clamp(i, pt, lens, win, bb, psize, limit), 0, 0)
+
+    def _kernel(pt_ref, lengths_ref, window_ref, layer_ref, *refs,
+                page_size, scale):
+        _paged_kernel(pt_ref, lengths_ref, window_ref, *refs,
+                      page_size=page_size, scale=scale)
+
+    kernel = functools.partial(_kernel, page_size=psize, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, groups, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, mp),
+            in_specs=[
+                pl.BlockSpec((1, n_kv, groups, hd), lambda bb, i, *_: (bb, 0, 0, 0)),
+                pl.BlockSpec((1, n_kv, 1, psize, hd), page_map),
+                pl.BlockSpec((1, n_kv, 1, psize, hd), page_map),
+                pl.BlockSpec((1, 1, n_kv, psize), scales_map),
+                pl.BlockSpec((1, 1, n_kv, psize), scales_map),
+            ],
+            out_specs=pl.BlockSpec((1, n_kv, groups, hd),
+                                   lambda bb, i, *_: (bb, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((n_kv, groups, LANES), jnp.float32),
+                pltpu.VMEM((n_kv, groups, LANES), jnp.float32),
+                pltpu.VMEM((n_kv, groups, hd), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), window_arr,
+      layer_arr, q4, k_pages, v_pages, k_scale, v_scale)
+    return out.reshape(b, nh, hd)

@@ -151,3 +151,61 @@ def test_paged_forward_matches_dense_cache():
         params, new_cache, tok, jnp.asarray([8], jnp.int32), config=cfg
     )
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_paged_attention_stacked_matches_unstacked():
+    """The layer-indexed stacked variant reads layer l of the [L, ...] pool
+    identically to slicing + the per-layer kernel."""
+    from metalchat_tpu.ops.paged_attention_pallas import (
+        paged_decode_attention_stacked,
+    )
+
+    rng = np.random.default_rng(2)
+    L, b, nh, n_kv, hd, psize, P, mp = 3, 2, 8, 4, 32, 16, 10, 4
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 127, (L, n_kv, P, psize, hd)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 127, (L, n_kv, P, psize, hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, P, n_kv, psize)), jnp.float32) * 0.02
+    vs = jnp.asarray(rng.random((L, P, n_kv, psize)), jnp.float32) * 0.02
+    tables = jnp.asarray([[0, 3, 7, 2], [1, 4, 5, 8]], jnp.int32)
+    lengths = jnp.asarray([37, 64], jnp.int32)
+    for l in range(L):
+        ref = paged_decode_attention(
+            q, kp[l], vp[l], ks[l], vs[l], tables, lengths,
+            scale=0.125, interpret=True)
+        got = paged_decode_attention_stacked(
+            q, kp, vp, ks, vs, tables, lengths, jnp.asarray(l, jnp.int32),
+            scale=0.125, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_paged_fast_decode_matches_scan_path():
+    """decode_step's paged fast path (stacked kernel in interpret mode +
+    per-row DUS page writes) produces the same logits and cache as the
+    scan path (scatter writes + per-layer kernel/gather)."""
+    from metalchat_tpu.models.transformer import forward
+
+    cfg = TINY_LLAMA.replace(max_seq_len=64)
+    params = init_random_params(cfg, seed=5, dtype=jnp.float32)
+    b = 2
+    cache = PagedKVCache.create(cfg, num_pages=b * 16, page_size=4,
+                                max_slots=b, max_pages_per_seq=16)
+    # Simple identity tables: row i owns pages [i*16, ...).
+    pt = jnp.asarray(np.arange(b * 16).reshape(b, 16), jnp.int32)
+    cache = cache.replace(page_table=pt)
+
+    step = jax.jit(forward, static_argnames=("config", "fast_decode"))
+    tok = jnp.asarray([[3], [9]], jnp.int32)
+    pos = jnp.asarray([5, 9], jnp.int32)
+
+    # Prefill a few positions with the scan path so the caches aren't empty.
+    c_fast = c_ref = cache
+    lf, c_fast = step(params, c_fast, tok, pos, config=cfg, fast_decode=True)
+    lr, c_ref = step(params, c_ref, tok, pos, config=cfg, fast_decode=False)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(c_fast.k_pages),
+                                  np.asarray(c_ref.k_pages))
+    np.testing.assert_allclose(np.asarray(c_fast.k_scale),
+                               np.asarray(c_ref.k_scale), rtol=1e-6)
