@@ -201,15 +201,18 @@ class ContinuousBatchingEngine:
             )
 
             if use_pallas():
-                if (not self.paged
-                        and supports_tp_fast_decode(params, config, spmd_mesh)):
+                if supports_tp_fast_decode(params, config, spmd_mesh):
+                    # Dense AND paged caches ride the shard_map tp-Pallas
+                    # decode (paged: pools sharded over kv-heads on tp, rows
+                    # replicated — parallel/tp_decode._paged_tp_cache_specs);
+                    # prefill keeps the partitionable GSPMD formulation.
                     self._forward = tp_decode_forward_fn(
                         params, config, spmd_mesh,
                         cache_quantized=isinstance(self.cache, QuantizedKVCache),
+                        paged=self.paged,
                     )
                 elif self.paged:
-                    # Paged + SPMD: the paged-attention Pallas kernel has no
-                    # shard_map wrapper yet — pin the fully-partitionable
+                    # Ineligible model/mesh: pin the fully-partitionable
                     # XLA formulation (gather_pages_dense path) so GSPMD
                     # shards pages over tp / rows over dp correctly.
                     self._forward = lambda p, c, t, s: forward(

@@ -310,8 +310,12 @@ def decode_step(
             return _linear_l(cache[norm_name], leaf, l)
 
         if "wqkv" in layers:
+            from metalchat_tpu.models.fuse import split_fused
+
             qkv = biased(norm_linear(x, "wqkv", "attn_norm"), "wqkv_b", l)
-            q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+            q, k, v = split_fused(
+                qkv, (nh * hd, nkv * hd, nkv * hd),
+                blocks=getattr(layers["wqkv"], "fuse_tp", 1))
         else:
             q = biased(norm_linear(x, "wq", "attn_norm"), "wq_b", l)
             k = biased(norm_linear(x, "wk", "attn_norm"), "wk_b", l)
@@ -416,8 +420,13 @@ def decode_step(
         x = x + attn
 
         if "w13" in layers:
+            from metalchat_tpu.models.fuse import split_fused
+
             fused = biased(norm_linear(x, "w13", "ffn_norm"), "w13_b", l)
-            gate, up = jnp.split(fused, 2, axis=-1)
+            f_half = fused.shape[-1] // 2
+            gate, up = split_fused(
+                fused, (f_half, f_half),
+                blocks=getattr(layers["w13"], "fuse_tp", 1))
             gate = (jax.nn.gelu(gate, approximate=True)
                     if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
             ffn = _linear_l(gate * up, layers["w2"], l)

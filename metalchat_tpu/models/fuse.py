@@ -13,10 +13,11 @@ groups run along in-features).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.quant.quantize import (
@@ -25,6 +26,73 @@ from metalchat_tpu.quant.quantize import (
     auto_orient,
     with_orientation,
 )
+
+
+def fused_segments(name: str, config: ModelConfig) -> tuple:
+    """Logical out-axis segment widths of a fused projection leaf."""
+    if name == "wqkv":
+        hd = config.head_dim
+        return (config.num_heads * hd, config.num_kv_heads * hd,
+                config.num_kv_heads * hd)
+    if name == "w13":
+        return (config.intermediate_size, config.intermediate_size)
+    raise ValueError(f"not a fused leaf: {name}")
+
+
+def split_fused(y: jax.Array, segments: Sequence[int], blocks: int = 1):
+    """Split a fused projection output back into its logical segments.
+
+    blocks=1 is the plain concat layout ([q|k|v]); blocks>1 is the
+    tp-blocked layout (QuantizedTensor.fuse_tp): y's last axis is `blocks`
+    contiguous chunks of [seg0/b | seg1/b | ...], so the split reshapes to
+    expose the block axis, slices each segment's per-block strip, and
+    re-merges — all local ops under GSPMD when the axis is tp-sharded
+    (the reshape splits the sharded axis by exactly the mesh factor)."""
+    bounds = np.cumsum(segments)[:-1]
+    if blocks == 1:
+        return jnp.split(y, bounds, axis=-1)
+    total = y.shape[-1]
+    assert total == int(np.sum(segments)), (y.shape, segments)
+    yr = y.reshape(*y.shape[:-1], blocks, total // blocks)
+    parts = jnp.split(yr, [s // blocks for s in np.cumsum(segments)[:-1]],
+                      axis=-1)
+    return [p.reshape(*y.shape[:-1], s) for p, s in zip(parts, segments)]
+
+
+def _blocked_order(segments: Sequence[int], blocks: int) -> np.ndarray:
+    """Index order turning [seg0|seg1|...] into `blocks` chunks of
+    [seg0_i|seg1_i|...] (the fuse_tp layout)."""
+    starts = np.concatenate([[0], np.cumsum(segments)[:-1]])
+    order = []
+    for i in range(blocks):
+        for seg, start in zip(segments, starts):
+            w = seg // blocks
+            order.append(np.arange(start + i * w, start + (i + 1) * w))
+    return np.concatenate(order)
+
+
+def permute_fused_tp(leaf: QuantizedTensor, segments: Sequence[int],
+                     tp: int) -> QuantizedTensor:
+    """Block-permute a fused QuantizedTensor's out axis for tp sharding
+    (see QuantizedTensor.fuse_tp). Pure layout move — no numeric change;
+    requires every segment divisible by tp."""
+    import dataclasses
+
+    if leaf.fuse_tp == tp:
+        return leaf
+    assert leaf.fuse_tp == 1, "re-blocking a blocked leaf is unsupported"
+    if any(s % tp for s in segments):
+        raise ValueError(f"segments {segments} not divisible by tp={tp}")
+    order = _blocked_order(segments, tp)
+    out_axis = -2 if leaf.transposed else -1
+    q = jnp.take(leaf.q, order, axis=out_axis)
+    if leaf.group_size == leaf.in_features:   # per-channel scales [.., 1, out]
+        scales = jnp.take(leaf.scales, order, axis=-1)
+    elif leaf.transposed:                     # [.., out, in/g]
+        scales = jnp.take(leaf.scales, order, axis=-2)
+    else:                                     # [.., in/g, out]
+        scales = jnp.take(leaf.scales, order, axis=-1)
+    return dataclasses.replace(leaf, q=q, scales=scales, fuse_tp=tp)
 
 
 def _concat_linears(leaves) -> Any:

@@ -120,8 +120,11 @@ def _layer_step(
 
     h = _norm(x, layer, "attn_norm", config)
     if "wqkv" in layer:  # fused projection (models/fuse.py)
+        from metalchat_tpu.models.fuse import split_fused
+
         qkv = _biased(linear(h, layer["wqkv"]), layer, "wqkv_b", config)
-        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        q, k, v = split_fused(qkv, (nh * hd, nkv * hd, nkv * hd),
+                              blocks=getattr(layer["wqkv"], "fuse_tp", 1))
         q, k, v = (q.reshape(b, s, nh, hd), k.reshape(b, s, nkv, hd),
                    v.reshape(b, s, nkv, hd))
     else:
@@ -220,8 +223,12 @@ def _layer_step(
 
         ffn, aux = moe_ffn(h, layer, config)
     elif "w13" in layer:  # fused gate/up (models/fuse.py)
+        from metalchat_tpu.models.fuse import split_fused
+
         fused = _biased(linear(h, layer["w13"]), layer, "w13_b", config)
-        gate, up = jnp.split(fused, 2, axis=-1)
+        f_half = fused.shape[-1] // 2
+        gate, up = split_fused(fused, (f_half, f_half),
+                               blocks=getattr(layer["w13"], "fuse_tp", 1))
         gate = (jax.nn.gelu(gate, approximate=True)
                 if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
         ffn = linear(gate * up, layer["w2"])

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -194,7 +195,7 @@ def param_partition_specs(params: Dict[str, Any], config: ModelConfig,
                 q=q_spec, scales=s_spec,
                 bits=leaf.bits, group_size=leaf.group_size,
                 transposed=leaf.transposed, act_bits=leaf.act_bits,
-                pack_chunks=leaf.pack_chunks,
+                pack_chunks=leaf.pack_chunks, fuse_tp=leaf.fuse_tp,
             )
         return spec.spec if isinstance(spec, NamedSharding) else spec
 
@@ -215,10 +216,21 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
     half-split packing pairs byte j with logical rows (j, j+in/2), so a
     contiguous byte shard of it decodes to non-contiguous logical rows —
     the row-parallel matvec would contract each device's activation slice
-    against the wrong weights."""
+    against the wrong weights.
+
+    Fused-projection (wqkv/w13) QuantizedTensor leaves get their out axis
+    BLOCK-PERMUTED (`models.fuse.permute_fused_tp`) so each contiguous tp
+    chunk holds that shard's [q_i|k_i|v_i] / [gate_i|up_i] segments — the
+    layout that makes the shard_map tp fast decode see a standard local
+    fused leaf. Matching fused biases are permuted identically. Consumers
+    read the blocking from `QuantizedTensor.fuse_tp` (split_fused), so the
+    GSPMD paths stay correct on the permuted global array too. Dense
+    (unquantized) fused leaves are left as-is: GSPMD never needed the
+    permutation and they don't ride the shard_map path."""
     from metalchat_tpu.quant.quantize import QuantizedTensor, repack_int4_chunks
 
     specs = param_partition_specs(params, config, mesh)
+    tp = mesh.shape.get("tp", 1)
 
     def axis_size(names) -> int:
         if names is None:
@@ -230,13 +242,19 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
             size *= mesh.shape[n]
         return size
 
-    def prepare(leaf, spec):
+    def prepare(leaf, spec, name=None):
         from dataclasses import replace
 
+        from metalchat_tpu.models.fuse import fused_segments, permute_fused_tp
         from metalchat_tpu.quant.quantize import LoraLinear
 
         if isinstance(leaf, LoraLinear):
             return replace(leaf, base=prepare(leaf.base, spec.base))
+        if (name in ("wqkv", "w13") and tp > 1
+                and isinstance(leaf, QuantizedTensor)):
+            segs = fused_segments(name, config)
+            if not any(s % tp for s in segs):
+                leaf = permute_fused_tp(leaf, segs, tp)
         if (isinstance(leaf, QuantizedTensor) and leaf.bits == 4
                 and leaf.act_bits == 8):
             packed_axis = -1 if leaf.transposed else -2
@@ -247,12 +265,33 @@ def shard_params(params: Dict[str, Any], config: ModelConfig, mesh: Mesh) -> Dic
                 return repack_int4_chunks(leaf, t)
         return leaf
 
+    def permute_bias(layers: Dict[str, Any]) -> Dict[str, Any]:
+        """Fused biases follow their (permuted) weight's blocked layout."""
+        from metalchat_tpu.models.fuse import _blocked_order, fused_segments
+
+        out = dict(layers)
+        for name in ("wqkv", "w13"):
+            bias = out.get(name + "_b")
+            w = out.get(name)
+            if (bias is not None
+                    and getattr(w, "fuse_tp", 1) == tp and tp > 1):
+                order = _blocked_order(fused_segments(name, config), tp)
+                out[name + "_b"] = jnp.take(bias, jnp.asarray(order), axis=-1)
+        return out
+
     def walk(leaf, spec):
         if isinstance(leaf, dict):
-            return {k: walk(v, spec[k]) for k, v in leaf.items()}
+            return {k: walk_named(k, v, spec[k]) for k, v in leaf.items()}
         return prepare(leaf, spec)
 
+    def walk_named(name, leaf, spec):
+        if isinstance(leaf, dict):
+            return walk(leaf, spec)
+        return prepare(leaf, spec, name)
+
     params = walk(params, specs)
+    if "layers" in params:
+        params = dict(params, layers=permute_bias(params["layers"]))
     # Unflatten the shardings onto the (possibly repacked) params treedef:
     # repacking changed QuantizedTensor pack_chunks METADATA, so the spec
     # tree's own treedef no longer matches, but the leaf order does.

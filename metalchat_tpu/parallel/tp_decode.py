@@ -41,7 +41,7 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.cache import KVCache, PagedKVCache, QuantizedKVCache
 from metalchat_tpu.config import ModelConfig
 from metalchat_tpu.parallel.mesh import (
     cache_partition_specs,
@@ -55,10 +55,14 @@ def supports_tp_fast_decode(params: Dict[str, Any], config: ModelConfig,
     """Whether the shard_map fast-decode path can run this model/mesh.
 
     Requires: heads, kv-heads and FFN width divisible by tp (kv-head
-    co-location is what keeps attention communication-free), no fused
-    wqkv/w13 leaves (a contiguous tp chunk of the fused out-axis would mix
-    q|k|v / gate|up rows), no biases (they must be added once, after the
-    psum), and a dense-stacked (non-paged, non-MoE) cache model."""
+    co-location is what keeps attention communication-free), no biases
+    (they must be added once, after the psum), and a non-MoE model. Both
+    dense-stacked and paged caches ride the path (the step is built with
+    the matching `paged=` flag). Fused wqkv/w13 leaves qualify when
+    `shard_params` tp-block-permuted them (QuantizedTensor.fuse_tp == tp —
+    each contiguous tp chunk is then a self-contained local fusion);
+    unpermuted fused leaves would hand each shard a chunk mixing whole-q
+    with whole-k rows and are rejected."""
     tp = mesh.shape.get("tp", 1)
     layers = params.get("layers", {})
 
@@ -75,6 +79,12 @@ def supports_tp_fast_decode(params: Dict[str, Any], config: ModelConfig,
             return leaf.act_bits == 8 and leaf.group_size == leaf.in_features
         return True
 
+    def fused_ok(name: str) -> bool:
+        leaf = layers.get(name)
+        if leaf is None:
+            return True
+        return isinstance(leaf, QuantizedTensor) and leaf.fuse_tp == tp
+
     return (
         tp > 1
         and config.num_heads % tp == 0
@@ -83,8 +93,8 @@ def supports_tp_fast_decode(params: Dict[str, Any], config: ModelConfig,
         and config.vocab_size % tp == 0
         and not config.use_bias
         and not config.num_experts
-        and "wqkv" not in layers
-        and "w13" not in layers
+        and fused_ok("wqkv")
+        and fused_ok("w13")
         and all(quant_ok(leaf) for leaf in layers.values())
     )
 
@@ -117,10 +127,37 @@ def _localize_quant_metadata(tree: Any) -> Any:
             # The local byte shard of a chunk-packed tensor IS one standard
             # half-split packing of its own logical in-range.
             leaf = replace(leaf, pack_chunks=1)
+        if leaf.fuse_tp != 1:
+            # The local chunk of a tp-block-permuted fused leaf IS one
+            # standard [q_i|k_i|v_i] fused layout for the LOCAL config.
+            leaf = replace(leaf, fuse_tp=1)
         return leaf
 
     return jax.tree.map(fix, tree,
                         is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
+def _paged_tp_cache_specs(axis: str) -> PagedKVCache:
+    """shard_map PartitionSpecs for a PagedKVCache under tensor parallelism.
+
+    The page POOLS shard over kv-heads on tp (pages [L, nkv, P, ps, hd] —
+    the kv-head axis splits cleanly and GQA co-location already holds);
+    page tables / lengths / token rows stay REPLICATED, including over any
+    dp axis. Rows are deliberately NOT dp-sharded here: the pool has no
+    batch axis, so dp-sharding rows would let each dp replica's pool
+    diverge on the other replicas' page writes — replicating the (tiny)
+    per-row matvec work keeps every replica's pool bit-identical and
+    composable with the GSPMD prefill path, at the cost of each device
+    reading all B rows' pages (KV reads are small next to the tp-sharded
+    weight stream that bounds decode)."""
+    return PagedKVCache(
+        k_pages=P(None, axis, None, None, None),   # [L, nkv, P, ps, hd]
+        v_pages=P(None, axis, None, None, None),
+        k_scale=P(None, None, axis, None),         # [L, P, nkv, ps]
+        v_scale=P(None, None, axis, None),
+        page_table=P(None, None),
+        lengths=P(None),
+    )
 
 
 def make_tp_decode_step(
@@ -130,6 +167,7 @@ def make_tp_decode_step(
     *,
     cache_quantized: bool = True,
     axis: str = "tp",
+    paged: bool = False,
 ):
     """Build `step(params, cache, tokens, start_pos) -> (logits, cache)`
     running the stacked-Pallas decode under shard_map on `mesh`.
@@ -138,7 +176,12 @@ def make_tp_decode_step(
     repack changes QuantizedTensor pack_chunks metadata, and in_specs must
     match that treedef); it is only inspected for structure/leaf kinds.
     tokens/start_pos are sharded over dp when the mesh has a dp axis; logits
-    return vocab-sharded on tp (global shape [B, s, V])."""
+    return vocab-sharded on tp (global shape [B, s, V]).
+
+    paged=True takes a PagedKVCache instead of a dense stacked cache and
+    runs `paged_decode_attention_stacked` + per-row page writes inside the
+    same shard_map body (see `_paged_tp_cache_specs` for the row-replication
+    trade)."""
     if not supports_tp_fast_decode(params, config, mesh):
         raise ValueError("model/mesh combination not eligible for tp fast "
                          "decode (see supports_tp_fast_decode)")
@@ -147,10 +190,17 @@ def make_tp_decode_step(
     local_cfg = _local_config(config, tp)
 
     pspecs = param_partition_specs(params, config, mesh)
-    cspecs = cache_partition_specs(mesh, cache_quantized, config.num_kv_heads)
-    tok_spec = P(dp, None)
-    pos_spec = P(dp)
-    out_spec = (P(dp, None, axis), cspecs)
+    if paged:
+        cspecs = _paged_tp_cache_specs(axis)
+        tok_spec = P(None, None)   # rows replicated — see _paged_tp_cache_specs
+        pos_spec = P(None)
+        out_spec = (P(None, None, axis), cspecs)
+    else:
+        cspecs = cache_partition_specs(mesh, cache_quantized,
+                                       config.num_kv_heads)
+        tok_spec = P(dp, None)
+        pos_spec = P(dp)
+        out_spec = (P(dp, None, axis), cspecs)
 
     def body(params, cache, tokens, start_pos):
         from metalchat_tpu.models.decode import decode_step
@@ -175,20 +225,28 @@ def tp_decode_forward_fn(
     *,
     cache_quantized: bool = True,
     axis: str = "tp",
+    paged: bool = False,
 ):
     """Engine `forward_fn`: tp-Pallas fast decode for single-token steps,
     GSPMD `forward` (XLA path) for prefill and anything else.
 
     This is how the SPMD serving engine gets the Pallas decode path under
     tensor parallelism: the burst/decode programs route through shard_map
-    while prefill keeps the flash-attention GSPMD path (which XLA partitions
-    fine — it is jnp ops, not custom calls)."""
+    while prefill keeps the GSPMD path (jnp ops XLA partitions fine). For
+    paged caches (paged=True) prefill additionally pins allow_pallas=False —
+    the paged scatter/gather XLA formulation is what GSPMD can partition."""
     from metalchat_tpu.models.transformer import forward
 
     tp_step = make_tp_decode_step(params, config, mesh,
-                                  cache_quantized=cache_quantized, axis=axis)
+                                  cache_quantized=cache_quantized, axis=axis,
+                                  paged=paged)
 
     def fwd(p, cache, tokens, start_pos):
+        if paged:
+            if tokens.shape[1] == 1 and isinstance(cache, PagedKVCache):
+                return tp_step(p, cache, tokens, start_pos)
+            return forward(p, cache, tokens, start_pos, config,
+                           fast_decode=False, allow_pallas=False)
         if (tokens.shape[1] == 1
                 and isinstance(cache, (KVCache, QuantizedKVCache))):
             return tp_step(p, cache, tokens, start_pos)

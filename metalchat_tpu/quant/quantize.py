@@ -38,7 +38,7 @@ import numpy as np
     jax.tree_util.register_dataclass,
     data_fields=["q", "scales"],
     meta_fields=["bits", "group_size", "transposed", "act_bits",
-                 "pack_chunks"],
+                 "pack_chunks", "fuse_tp"],
 )
 @dataclass
 class QuantizedTensor:
@@ -83,6 +83,15 @@ class QuantizedTensor:
     # activation slice — per-chunk packing makes byte-contiguous sharding
     # and logical-row sharding coincide (parallel/mesh.py shard_params).
     pack_chunks: int = 1
+    # Fused-projection tp blocking: a fused leaf (models/fuse.py wqkv/w13)
+    # with fuse_tp > 1 has its out axis BLOCK-PERMUTED so each contiguous
+    # 1/fuse_tp chunk holds that tp shard's [q_i|k_i|v_i] (resp.
+    # [gate_i|up_i]) segments — a contiguous tp shard of the DEFAULT fused
+    # layout would mix whole-q with whole-k rows. Consumers split the fused
+    # output with models.fuse.split_fused(..., blocks=fuse_tp); inside
+    # shard_map each LOCAL chunk is a standard fused layout
+    # (parallel/tp_decode._localize_quant_metadata resets this to 1).
+    fuse_tp: int = 1
 
     @property
     def in_features(self) -> int:

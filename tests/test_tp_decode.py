@@ -19,7 +19,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from metalchat_tpu.cache import KVCache, QuantizedKVCache
+from metalchat_tpu.cache import KVCache, PagedKVCache, QuantizedKVCache
 from metalchat_tpu.config import LlamaConfig
 from metalchat_tpu.models import init_random_params
 from metalchat_tpu.models.decode import decode_step
@@ -139,6 +139,151 @@ def test_tp_w4a8_kernel_path():
     assert np.isfinite(got).all()
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 5e-2, rel
+
+
+def test_tp_fused_w4a8_token_exact():
+    """Fused wqkv/w13 under tp (VERDICT r4 #2): shard_params block-permutes
+    the fused out axes (fuse_tp=tp) so each shard's chunk is a local fusion;
+    the tp step matches the fused single-device step — layer-0 KV bit-exact,
+    logits within the per-shard act-quant tolerance."""
+    from metalchat_tpu.models.fuse import fuse_projections
+
+    mesh = tp_mesh(tp=2)
+    params = init_random_params(CFG, seed=4, dtype=jnp.float32)
+    qparams = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                              scales_dtype=jnp.float32)
+    fused = fuse_projections(qparams, CFG)
+    assert "wqkv" in fused["layers"] and "w13" in fused["layers"]
+    sq = shard_params(fused, CFG, mesh)
+    assert sq["layers"]["wqkv"].fuse_tp == 2
+    assert sq["layers"]["w13"].fuse_tp == 2
+    assert supports_tp_fast_decode(sq, CFG, mesh)
+
+    cache_ref = QuantizedKVCache.create(CFG, 2, S)
+    cache_tp = shard_cache(QuantizedKVCache.create(CFG, 2, S), mesh)
+    step_ref = jax.jit(lambda p, c, t, s: decode_step(p, c, t, s, CFG))
+    step_tp = jax.jit(make_tp_decode_step(sq, CFG, mesh))
+
+    tok = jnp.asarray([[5], [9]], jnp.int32)
+    pos = jnp.asarray([3, 7], jnp.int32)
+    lr, cache_ref = step_ref(fused, cache_ref, tok, pos)
+    lt, cache_tp = step_tp(sq, cache_tp, tok, pos)
+
+    np.testing.assert_array_equal(np.asarray(cache_tp.k)[0],
+                                  np.asarray(cache_ref.k)[0])
+    np.testing.assert_array_equal(np.asarray(cache_tp.v)[0],
+                                  np.asarray(cache_ref.v)[0])
+    ref, got = np.asarray(lr), np.asarray(lt)
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-2, rel
+
+
+def test_fused_permutation_gspmd_consistent():
+    """The permuted fused layout is transparent to the GSPMD (XLA) forward:
+    prefill through `forward` with permuted sharded params matches prefill
+    with the unpermuted unsharded fused params."""
+    from metalchat_tpu.models.fuse import fuse_projections
+    from metalchat_tpu.models.transformer import forward
+
+    mesh = tp_mesh(tp=2)
+    params = init_random_params(CFG, seed=5, dtype=jnp.float32)
+    qparams = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                              scales_dtype=jnp.float32)
+    fused = fuse_projections(qparams, CFG)
+    sq = shard_params(fused, CFG, mesh)
+
+    tokens = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    cache_ref = KVCache.create(CFG, 1, S, dtype=jnp.float32)
+    cache_tp = shard_cache(KVCache.create(CFG, 1, S, dtype=jnp.float32), mesh)
+    lr, _ = jax.jit(lambda p, c, t: forward(p, c, t, 0, CFG,
+                                            fast_decode=False))(
+        fused, cache_ref, tokens)
+    lt, _ = jax.jit(lambda p, c, t: forward(p, c, t, 0, CFG,
+                                            fast_decode=False))(
+        sq, cache_tp, tokens)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _paged_cache(mesh=None):
+    """A PagedKVCache for CFG with two live rows (pages pre-assigned)."""
+    from metalchat_tpu.parallel.mesh import shard_cache
+
+    cache = PagedKVCache.create(CFG, num_pages=8, page_size=64, max_slots=2)
+    pt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    cache = cache.replace(page_table=pt)
+    if mesh is not None:
+        cache = shard_cache(cache, mesh)
+        cache = cache.replace(page_table=jax.device_put(pt))
+    return cache
+
+
+def test_tp_paged_kernel_path():
+    """Paged decode under tp (VERDICT r4 #1): page pools sharded over
+    kv-heads, the stacked paged-attention kernel + per-row page writes run
+    inside shard_map. Page writes bit-exact at layer 0; logits within the
+    per-shard act-quant tolerance."""
+    mesh = tp_mesh(tp=2)
+    params = init_random_params(CFG, seed=1, dtype=jnp.float32)
+    qparams = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                              scales_dtype=jnp.float32)
+    sq = shard_params(qparams, CFG, mesh)
+
+    cache_ref = _paged_cache()
+    cache_tp = _paged_cache(mesh)
+
+    step_ref = jax.jit(lambda p, c, t, s: decode_step(p, c, t, s, CFG))
+    step_tp = jax.jit(make_tp_decode_step(sq, CFG, mesh, paged=True))
+
+    tok = jnp.asarray([[5], [9]], jnp.int32)
+    pos = jnp.asarray([3, 7], jnp.int32)  # distinct per-row positions
+    lr, cache_ref = step_ref(qparams, cache_ref, tok, pos)
+    lt, cache_tp = step_tp(sq, cache_tp, tok, pos)
+
+    np.testing.assert_array_equal(np.asarray(cache_tp.k_pages)[0],
+                                  np.asarray(cache_ref.k_pages)[0])
+    np.testing.assert_array_equal(np.asarray(cache_tp.v_pages)[0],
+                                  np.asarray(cache_ref.v_pages)[0])
+    np.testing.assert_allclose(np.asarray(cache_tp.k_scale)[0],
+                               np.asarray(cache_ref.k_scale)[0], rtol=1e-6)
+    ref, got = np.asarray(lr), np.asarray(lt)
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-2, rel
+
+
+def test_tp_engine_spmd_paged_token_exact():
+    """The serving engine in PAGED mode on a tp×dp mesh rides the shard_map
+    paged Pallas decode (engine/serving.py routing) and reproduces the
+    single-device paged engine's tokens exactly for a dense f32 model."""
+    from metalchat_tpu.engine.serving import ContinuousBatchingEngine, Request
+
+    params = init_random_params(CFG, seed=3, dtype=jnp.float32)
+    mesh = tp_mesh(tp=2, dp=2)
+    sparams = shard_params(params, CFG, mesh)
+
+    def run(engine_params, spmd):
+        engine = ContinuousBatchingEngine(
+            engine_params, CFG, max_slots=4, max_seq_len=64,
+            cache_mode="paged", page_size=32, decode_burst=4,
+            prefill_chunk=16, spmd_mesh=spmd,
+        )
+        if spmd is not None:
+            # The engine must have picked the shard_map tp-Pallas route,
+            # not the XLA fallback.
+            from metalchat_tpu.parallel.tp_decode import supports_tp_fast_decode
+            assert supports_tp_fast_decode(engine_params, CFG, spmd)
+        out = engine.run([
+            Request(prompt=[1, 2, 3, 4, 5], max_new_tokens=6),
+            Request(prompt=[7, 8, 9], max_new_tokens=5),
+        ])
+        assert all(c.finished and c.error is None for c in out.values())
+        return [c.tokens for c in out.values()]
+
+    ref = run(params, None)
+    got = run(sparams, mesh)
+    assert ref == got, (ref, got)
 
 
 def test_tp_engine_spmd_token_exact():
