@@ -34,15 +34,32 @@ from metalchat_tpu.config import ModelConfig
 DENSE_TOKEN_CUTOFF = 32
 
 
+def _expert_linear(xin: jax.Array, leaf) -> jax.Array:
+    """xin [E, C, in] through a per-layer expert weight stack [E, in, out]
+    (dense) or an expert-stacked QuantizedTensor (per-expert fused-dequant
+    contraction — quantized MoE, beyond the reference)."""
+    from metalchat_tpu.quant.quantize import QuantizedTensor, quant_matmul
+
+    if isinstance(leaf, QuantizedTensor):
+        import dataclasses
+
+        outs = [
+            quant_matmul(xin[e], dataclasses.replace(
+                leaf, q=leaf.q[e], scales=leaf.scales[e]))
+            for e in range(xin.shape[0])
+        ]
+        return jnp.stack(outs)
+    return jnp.einsum("ech,ehf->ecf", xin, leaf.astype(xin.dtype))
+
+
 def _expert_mlp(xin: jax.Array, layer, config: ModelConfig) -> jax.Array:
     """Batched-over-experts SwiGLU: xin [E, C, H] → [E, C, H]."""
-    w1, w2 = layer["w1"], layer["w2"]
-    gate = jnp.einsum("ech,ehf->ecf", xin, w1.astype(xin.dtype))
+    gate = _expert_linear(xin, layer["w1"])
     act = (jax.nn.gelu(gate, approximate=True)
            if config.hidden_act == "gelu_tanh" else jax.nn.silu(gate))
     if "w3" in layer:
-        act = act * jnp.einsum("ech,ehf->ecf", xin, layer["w3"].astype(xin.dtype))
-    return jnp.einsum("ecf,efh->ech", act, w2.astype(xin.dtype))
+        act = act * _expert_linear(xin, layer["w3"])
+    return _expert_linear(act, layer["w2"])
 
 
 def _route(xt: jax.Array, router: jax.Array, config: ModelConfig):

@@ -232,3 +232,84 @@ def test_forward_with_aux_returns_scalar():
     dc = KVCache.create(dense_cfg, 2, 64, dtype=jnp.float32)
     _, _, aux0 = forward(dp, dc, tokens, 0, dense_cfg, with_aux=True)
     assert float(aux0) == 0.0
+
+
+# -- MoE fast decode (VERDICT r4 #5) ----------------------------------------
+
+
+@pytest.fixture
+def pallas_interpret(monkeypatch):
+    from metalchat_tpu import ops
+
+    monkeypatch.setenv("METALCHAT_TPU_PALLAS_INTERPRET", "1")
+    ops.use_pallas.cache_clear()
+    yield
+    ops.use_pallas.cache_clear()
+
+
+def _rollout(params, cfg, step_fn, b, steps=6):
+    cache = KVCache.create(cfg, b, cfg.max_seq_len, dtype=jnp.float32)
+    tok = jnp.arange(1, b + 1, dtype=jnp.int32)[:, None]
+    pos = jnp.zeros((b,), jnp.int32)
+    toks, first_logits = [], None
+    for i in range(steps):
+        logits, cache = step_fn(params, cache, tok, pos)
+        if i == 0:
+            first_logits = np.asarray(logits)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        toks.append(np.asarray(tok)[:, 0])
+        pos = pos + 1
+    return np.asarray(toks), first_logits
+
+
+@pytest.mark.parametrize("b", [1, 2])
+def test_moe_fast_decode_matches_scan(pallas_interpret, b):
+    """MoE decode through the stacked fast path (supports_fast_decode no
+    longer excludes experts) is token-exact vs the scan path; b=1 exercises
+    the sparse routed-experts formulation, b=2 the dense-over-experts one."""
+    from metalchat_tpu.models.decode import decode_step, supports_fast_decode
+
+    params = init_random_params(CFG, seed=0, dtype=jnp.float32)
+    cache = KVCache.create(CFG, b, CFG.max_seq_len, dtype=jnp.float32)
+    tokens = jnp.zeros((b, 1), jnp.int32)
+    assert supports_fast_decode(params, cache, CFG, tokens)
+
+    fast = jax.jit(lambda p, c, t, s: decode_step(p, c, t, s, CFG))
+    scan = jax.jit(lambda p, c, t, s: forward(p, c, t, s, CFG,
+                                              fast_decode=False))
+    toks_fast, logits_fast = _rollout(params, CFG, fast, b)
+    toks_scan, logits_scan = _rollout(params, CFG, scan, b)
+    np.testing.assert_allclose(logits_fast, logits_scan, rtol=2e-4, atol=2e-4)
+    assert np.array_equal(toks_fast, toks_scan)
+
+
+def test_moe_quantized_fast_decode(pallas_interpret):
+    """Quantized (w4a8) expert leaves route through the stacked Pallas
+    matvec with the flattened (layer, expert) index; matches the scan
+    path's per-expert quant_matmul contraction."""
+    from metalchat_tpu.models.decode import decode_step, supports_fast_decode
+    from metalchat_tpu.quant.quantize import QuantizedTensor, quantize_params
+
+    # Kernel-legal expert shapes: in/out multiples of 128/256.
+    cfg = CFG.replace(hidden_size=256, intermediate_size=512, num_heads=4,
+                      num_kv_heads=2, head_dim=64, max_seq_len=64)
+    params = init_random_params(cfg, seed=1, dtype=jnp.float32)
+    qparams = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                              scales_dtype=jnp.float32)
+    assert isinstance(qparams["layers"]["w1"], QuantizedTensor)
+    assert qparams["layers"]["w1"].q.ndim == 4
+
+    b = 2
+    cache = KVCache.create(cfg, b, cfg.max_seq_len, dtype=jnp.float32)
+    tokens = jnp.zeros((b, 1), jnp.int32)
+    assert supports_fast_decode(qparams, cache, cfg, tokens)
+
+    fast = jax.jit(lambda p, c, t, s: decode_step(p, c, t, s, cfg))
+    scan = jax.jit(lambda p, c, t, s: forward(p, c, t, s, cfg,
+                                              fast_decode=False))
+    toks_fast, logits_fast = _rollout(qparams, cfg, fast, b, steps=4)
+    toks_scan, logits_scan = _rollout(qparams, cfg, scan, b, steps=4)
+    rel = (np.linalg.norm(logits_fast - logits_scan)
+           / np.linalg.norm(logits_scan))
+    assert rel < 1e-3, rel
+    assert np.array_equal(toks_fast, toks_scan)
