@@ -56,6 +56,7 @@ from metalchat_tpu.ops.decode_attention_pallas import (
 )
 from metalchat_tpu.ops.paged_attention_pallas import (
     paged_decode_attention_stacked,
+    paged_decode_attention_update_stacked,
 )
 from metalchat_tpu.quant.quantize import (
     LoraLinear,
@@ -441,18 +442,23 @@ def decode_step(
 
         lengths = offsets + s
         if paged:
-            # Stacked paged fast path: per-row page writes (chained DUS, no
-            # vmapped scatter) + the layer-indexed paged attention kernel —
-            # the scan path materializes each layer's page-pool slice for
-            # its Pallas call, a full extra cache read+write per step.
-            pg, off = positions_to_pages(page_table, positions, psize)
-            new_leaves = update_stacked_paged_cache(
-                *leaves, k, v, l, pg[:, 0], off[:, 0])
+            # Stacked paged fast path: the FUSED kernel quantizes the new
+            # K/V row, writes it into its page (aliased in-place outputs
+            # pinned to the page holding pos) and attends in ONE call —
+            # the chained per-row page DUS writes it replaces were what
+            # made the 1B paged path a regression vs its own scan path
+            # (SERVE_r04 'open'); the scan path additionally materializes
+            # each layer's page-pool slice per Pallas call, a full extra
+            # cache read+write per step.
             if use_kernel_attn:
-                attn = paged_decode_attention_stacked(
-                    q[:, 0], *new_leaves, page_table, lengths, l,
-                    scale=scale, window=window)
+                attn, *new_leaves = paged_decode_attention_update_stacked(
+                    q[:, 0], k[:, 0], v[:, 0], *leaves, page_table,
+                    lengths, l, scale=scale, window=window)
+                new_leaves = tuple(new_leaves)
             else:
+                pg, off = positions_to_pages(page_table, positions, psize)
+                new_leaves = update_stacked_paged_cache(
+                    *leaves, k, v, l, pg[:, 0], off[:, 0])
                 kp, vp, ksc, vsc = (_slice_layer(a, l) for a in new_leaves)
                 keys = dequantize_kv(gather_pages_dense(kp, page_table),
                                      gather_page_scales(ksc, page_table),

@@ -209,3 +209,128 @@ def test_paged_fast_decode_matches_scan_path():
                                   np.asarray(c_ref.k_pages))
     np.testing.assert_allclose(np.asarray(c_fast.k_scale),
                                np.asarray(c_ref.k_scale), rtol=1e-6)
+
+
+def test_paged_fused_update_kernel_matches_separate():
+    """The fused quantize+page-write+attend kernel (VERDICT r4 #3) equals
+    update_stacked_paged_cache + paged_decode_attention_stacked, including
+    the in-place page bytes and sentinel routing to the garbage page."""
+    from metalchat_tpu.cache import update_stacked_paged_cache
+    from metalchat_tpu.ops.paged_attention_pallas import (
+        paged_decode_attention_stacked,
+        paged_decode_attention_update_stacked,
+    )
+
+    rng = np.random.default_rng(3)
+    L, b, nh, n_kv, hd, psize, P, mp = 2, 3, 8, 4, 32, 16, 10, 4
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((b, n_kv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, n_kv, hd)), jnp.float32)
+    # P live pages + 1 reserved garbage page (index P).
+    kp = jnp.asarray(rng.integers(-127, 127, (L, n_kv, P + 1, psize, hd)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 127, (L, n_kv, P + 1, psize, hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, P + 1, n_kv, psize)), jnp.float32) * 0.02
+    vs = jnp.asarray(rng.random((L, P + 1, n_kv, psize)), jnp.float32) * 0.02
+    # Row 2's pos page-table entry is the SENTINEL (P): write → garbage page.
+    tables = jnp.asarray([[0, 3, 7, 2], [1, 4, 5, 8], [6, P, P, P]], jnp.int32)
+    lengths = jnp.asarray([38, 64, 17], jnp.int32)  # including the new token
+
+    for l in range(L):
+        layer = jnp.asarray(l, jnp.int32)
+        pos = lengths - 1
+        pg, off = positions_to_pages(tables, pos[:, None], psize)
+        rkp, rvp, rks, rvs = update_stacked_paged_cache(
+            kp, vp, ks, vs, k_new[:, None], v_new[:, None],
+            layer, pg[:, 0], off[:, 0])
+        ref = paged_decode_attention_stacked(
+            q, rkp, rvp, rks, rvs, tables, lengths, layer,
+            scale=0.125, interpret=True)
+        got, gkp, gvp, gks, gvs = paged_decode_attention_update_stacked(
+            q, k_new, v_new, kp, vp, ks, vs, tables, lengths, layer,
+            scale=0.125, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # Live pages bit-exact (garbage page content is don't-care).
+        np.testing.assert_array_equal(np.asarray(gkp)[:, :, :P],
+                                      np.asarray(rkp)[:, :, :P])
+        np.testing.assert_array_equal(np.asarray(gvp)[:, :, :P],
+                                      np.asarray(rvp)[:, :, :P])
+        np.testing.assert_allclose(np.asarray(gks)[:, :P],
+                                   np.asarray(rks)[:, :P], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gvs)[:, :P],
+                                   np.asarray(rvs)[:, :P], rtol=1e-6)
+
+
+def test_paged_fused_update_kernel_sliding_window():
+    """Fused kernel under a sliding window: pos is always inside the window;
+    output matches the separate formulation."""
+    from metalchat_tpu.cache import update_stacked_paged_cache
+    from metalchat_tpu.ops.paged_attention_pallas import (
+        paged_decode_attention_stacked,
+        paged_decode_attention_update_stacked,
+    )
+
+    rng = np.random.default_rng(4)
+    L, b, nh, n_kv, hd, psize, P = 1, 2, 4, 2, 16, 8, 12
+    tables = jnp.asarray([[0, 3, 7, 2], [1, 4, 5, 8]], jnp.int32)
+    lengths = jnp.asarray([29, 14], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((b, n_kv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, n_kv, hd)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 127, (L, n_kv, P + 1, psize, hd)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 127, (L, n_kv, P + 1, psize, hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, P + 1, n_kv, psize)), jnp.float32) * 0.02
+    vs = jnp.asarray(rng.random((L, P + 1, n_kv, psize)), jnp.float32) * 0.02
+    layer = jnp.asarray(0, jnp.int32)
+    window = jnp.asarray(6, jnp.int32)
+
+    pos = lengths - 1
+    pg, off = positions_to_pages(tables, pos[:, None], psize)
+    rkp, rvp, rks, rvs = update_stacked_paged_cache(
+        kp, vp, ks, vs, k_new[:, None], v_new[:, None],
+        layer, pg[:, 0], off[:, 0])
+    ref = paged_decode_attention_stacked(
+        q, rkp, rvp, rks, rvs, tables, lengths, layer,
+        scale=0.25, window=window, interpret=True)
+    got, gkp, gvp, gks, gvs = paged_decode_attention_update_stacked(
+        q, k_new, v_new, kp, vp, ks, vs, tables, lengths, layer,
+        scale=0.25, window=window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(gkp)[:, :, :P],
+                                  np.asarray(rkp)[:, :, :P])
+
+
+def test_paged_fast_decode_kernel_matches_scan_path():
+    """decode_step's paged fast path WITH the Pallas kernels on (interpret)
+    — i.e. the fused update kernel — matches the scan path end to end."""
+    from metalchat_tpu import ops as _ops
+    from metalchat_tpu.models.transformer import forward as _forward
+
+    import os
+    os.environ["METALCHAT_TPU_PALLAS_INTERPRET"] = "1"
+    _ops.use_pallas.cache_clear()
+    try:
+        cfg = TINY_LLAMA.replace(max_seq_len=64)
+        params = init_random_params(cfg, seed=6, dtype=jnp.float32)
+        b = 2
+        cache = PagedKVCache.create(cfg, num_pages=b * 16, page_size=4,
+                                    max_slots=b, max_pages_per_seq=16)
+        pt = jnp.asarray(np.arange(b * 16).reshape(b, 16), jnp.int32)
+        cache = cache.replace(page_table=pt)
+
+        step = jax.jit(_forward, static_argnames=("config", "fast_decode"))
+        tok = jnp.asarray([[3], [9]], jnp.int32)
+        pos = jnp.asarray([5, 9], jnp.int32)
+        c_fast = c_ref = cache
+        lf, c_fast = step(params, c_fast, tok, pos, config=cfg, fast_decode=True)
+        lr, c_ref = step(params, c_ref, tok, pos, config=cfg, fast_decode=False)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_fast.k_pages),
+                                      np.asarray(c_ref.k_pages))
+        np.testing.assert_allclose(np.asarray(c_fast.k_scale),
+                                   np.asarray(c_ref.k_scale), rtol=1e-6)
+    finally:
+        del os.environ["METALCHAT_TPU_PALLAS_INTERPRET"]
+        _ops.use_pallas.cache_clear()
