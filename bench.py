@@ -270,6 +270,7 @@ def main() -> None:
             "wall_s": round(wall, 2),
             "prefill_dispatches": m.get("prefill_dispatches", 0),
             "decode_dispatches": m.get("decode_dispatches", 0),
+            "combined_dispatches": m.get("combined_dispatches", 0),
         }))
         return
 

@@ -323,3 +323,26 @@ def test_batched_prefill_paged():
         return engine.counters["prefill_dispatches"]
 
     assert run("paged") == 1
+
+
+def test_combined_dispatch_mixed_load(model):
+    """Under mixed load the engine folds each tick's prompt chunk and decode
+    burst into ONE dispatched program (VERDICT r4 #4): combined dispatches
+    fire, the split prefill/decode alternation disappears, and every
+    request's greedy tokens still match the batch-1 reference."""
+    cfg, params = model
+    engine = ContinuousBatchingEngine(params, cfg, max_slots=4,
+                                      max_seq_len=64, prefill_chunk=4,
+                                      decode_burst=4)
+    reqs = [
+        Request(prompt=[5, 9, 23], max_new_tokens=8),
+        Request(prompt=list(range(1, 17)), max_new_tokens=4),
+        Request(prompt=[7, 3], max_new_tokens=4),
+    ]
+    out = engine.run(list(reqs))
+    assert engine.counters["combined_dispatches"] > 0, engine.counters
+    for req in reqs:
+        comp = out[req.request_id]
+        assert comp.finished and comp.error is None
+        assert comp.tokens == _reference_greedy(
+            cfg, params, list(req.prompt), req.max_new_tokens), req.prompt
