@@ -165,6 +165,12 @@ def main() -> None:
     parser.add_argument("--max-new", type=int, default=96)
     parser.add_argument("--cache-mode", choices=["dense", "paged"],
                         default="dense")
+    parser.add_argument("--prompt-min", type=int, default=48,
+                        help="serve mode: shortest prompt length")
+    parser.add_argument("--prompt-max", type=int, default=640,
+                        help="serve mode: longest prompt length (clamped to "
+                             "ctx - max_new - 8); raise with --ctx for the "
+                             "long-context serving artifact")
     parser.add_argument("--page-size", type=int, default=256)
     parser.add_argument("--no-ttft", action="store_true",
                         help="skip the TTFT measurement in decode mode")
@@ -214,8 +220,9 @@ def main() -> None:
             params, cfg, max_slots=args.slots, max_seq_len=max_seq,
             decode_burst=args.burst, prefill_chunk=256, **paged_kw,
         )
-        hi = min(640, max_seq - args.max_new - 8)
-        lengths = [rng.randint(48, hi) for _ in range(args.requests)]
+        hi = min(args.prompt_max, max_seq - args.max_new - 8)
+        lengths = [rng.randint(min(args.prompt_min, hi), hi)
+                   for _ in range(args.requests)]
         requests = [
             Request(prompt=[1 + (i % 100)] * n, max_new_tokens=args.max_new)
             for i, n in enumerate(lengths)

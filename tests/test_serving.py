@@ -333,10 +333,10 @@ def test_combined_dispatch_mixed_load(model):
     cfg, params = model
     engine = ContinuousBatchingEngine(params, cfg, max_slots=4,
                                       max_seq_len=64, prefill_chunk=4,
-                                      decode_burst=4)
+                                      decode_burst=4, prefill_interleave=1)
     reqs = [
         Request(prompt=[5, 9, 23], max_new_tokens=8),
-        Request(prompt=list(range(1, 17)), max_new_tokens=4),
+        Request(prompt=list(range(1, 33)), max_new_tokens=4),
         Request(prompt=[7, 3], max_new_tokens=4),
     ]
     out = engine.run(list(reqs))
