@@ -36,7 +36,7 @@ def main() -> None:
 
     cfg = MixtralConfig(
         vocab_size=32000, hidden_size=1024, intermediate_size=2048,
-        num_layers=8, num_heads=16, num_kv_heads=8, head_dim=64,
+        num_layers=8, num_heads=16, num_kv_heads=8, head_dim=128,
         max_seq_len=1024, tie_word_embeddings=False,
         num_experts=8, num_experts_per_tok=2,
     )
@@ -87,7 +87,7 @@ def main() -> None:
         f, s = results[f"b{batch}_fast"], results[f"b{batch}_scan"]
         results[f"b{batch}_speedup"] = round(f / s, 2)
     print(json.dumps({"metric": "moe_w4a8_decode_fast_vs_scan",
-                      "config": "8x~0.5B mixtral-style", **results}))
+                      "config": "8x~0.7B mixtral-style (hd128)", **results}))
 
 
 if __name__ == "__main__":

@@ -368,10 +368,19 @@ def decode_step(
             return y + _slice_layer(layers[name], l)
         return y
 
+    # hd % 128 (Mosaic only): the fused update kernels' vector-like dots
+    # don't lower at sub-lane head dims (tpu.reshape 8x64 -> 8x1x64
+    # "unsupported shape cast" on chip at hd=64 — e.g. llama32_1b); those
+    # models take the XLA attention branch while keeping the stacked
+    # matvec kernels. Interpret mode (CPU tests) has no Mosaic and keeps
+    # full kernel coverage at tiny head dims.
+    from metalchat_tpu.ops import resolve_interpret
+
+    hd_ok = hd % 128 == 0 or resolve_interpret(None)
     if paged:
-        use_kernel_attn = s == 1 and use_pallas()
+        use_kernel_attn = s == 1 and use_pallas() and hd_ok
     else:
-        use_kernel_attn = s == 1 and use_pallas() and \
+        use_kernel_attn = s == 1 and use_pallas() and hd_ok and \
             kv_len % min(256, kv_len) == 0 and kv_len >= 128
 
     fuse_norms = use_pallas() and config.norm_type != "layernorm"
