@@ -55,10 +55,11 @@ def supports_tp_fast_decode(params: Dict[str, Any], config: ModelConfig,
     """Whether the shard_map fast-decode path can run this model/mesh.
 
     Requires: heads, kv-heads and FFN width divisible by tp (kv-head
-    co-location is what keeps attention communication-free), no biases
-    (they must be added once, after the psum), and a non-MoE model. Both
-    dense-stacked and paged caches ride the path (the step is built with
-    the matching `paged=` flag). Fused wqkv/w13 leaves qualify when
+    co-location is what keeps attention communication-free) and no biases
+    (they must be added once, after the psum). Both dense-stacked and
+    paged caches ride the path (the step is built with the matching
+    `paged=` flag), and MoE models qualify on tp-only meshes (experts'
+    FFN width sharded over tp; see `moe_ok` below). Fused wqkv/w13 leaves qualify when
     `shard_params` tp-block-permuted them (QuantizedTensor.fuse_tp == tp —
     each contiguous tp chunk is then a self-contained local fusion);
     unpermuted fused leaves would hand each shard a chunk mixing whole-q
@@ -85,6 +86,19 @@ def supports_tp_fast_decode(params: Dict[str, Any], config: ModelConfig,
             return True
         return isinstance(leaf, QuantizedTensor) and leaf.fuse_tp == tp
 
+    def moe_ok() -> bool:
+        # MoE rides the shard_map path with every expert's FFN width
+        # sharded over tp (column-parallel w1/w3, row-parallel w2 — the
+        # existing post-FFN psum covers the expert sum too; the router is
+        # replicated so all shards route identically). Expert-parallel
+        # (ep) meshes keep the GSPMD path: the fast path holds all
+        # experts' tp-shards per device.
+        if not config.num_experts:
+            return True
+        from metalchat_tpu.models.decode import _moe_ok
+
+        return _moe_ok(params, config) and mesh.shape.get("ep", 1) == 1
+
     return (
         tp > 1
         and config.num_heads % tp == 0
@@ -92,7 +106,7 @@ def supports_tp_fast_decode(params: Dict[str, Any], config: ModelConfig,
         and config.intermediate_size % tp == 0
         and config.vocab_size % tp == 0
         and not config.use_bias
-        and not config.num_experts
+        and moe_ok()
         and fused_ok("wqkv")
         and fused_ok("w13")
         and all(quant_ok(leaf) for leaf in layers.values())

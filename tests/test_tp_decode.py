@@ -341,3 +341,62 @@ def test_tp_engine_spmd_token_exact():
     ref = run(params, None)
     got = run(sparams, mesh)
     assert ref == got, (ref, got)
+
+
+def test_tp_moe_decode():
+    """MoE under tp (r5): expert FFN width shards over tp, the router is
+    replicated, and the existing post-FFN psum joins the row-parallel w2
+    partials. Dense f32 token-exact vs single-device; w4a8 experts ride
+    the stacked kernel via the (layer, expert) index inside shard_map."""
+    from metalchat_tpu.config import MixtralConfig
+
+    mcfg = MixtralConfig(
+        vocab_size=512, hidden_size=512, intermediate_size=1024,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+        max_seq_len=256, tie_word_embeddings=False,
+        num_experts=4, num_experts_per_tok=2,
+    )
+    mesh = tp_mesh(tp=2)
+    params = init_random_params(mcfg, seed=7, dtype=jnp.float32)
+    sparams = shard_params(params, mcfg, mesh)
+    assert supports_tp_fast_decode(sparams, mcfg, mesh)
+
+    cache_ref = KVCache.create(mcfg, 2, S, dtype=jnp.float32)
+    cache_tp = shard_cache(KVCache.create(mcfg, 2, S, dtype=jnp.float32), mesh)
+    step_ref = jax.jit(lambda p, c, t, s: decode_step(p, c, t, s, mcfg))
+    step_tp = jax.jit(make_tp_decode_step(sparams, mcfg, mesh,
+                                          cache_quantized=False))
+    tok_ref = tok_tp = jnp.asarray([[5], [9]], jnp.int32)
+    pos = jnp.asarray([0, 0], jnp.int32)
+    toks_ref, toks_tp = [], []
+    for i in range(6):
+        lr, cache_ref = step_ref(params, cache_ref, tok_ref, pos)
+        lt, cache_tp = step_tp(sparams, cache_tp, tok_tp, pos)
+        if i == 0:
+            np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                                       rtol=5e-4, atol=5e-4)
+        tok_ref = jnp.argmax(lr[:, -1], -1).astype(jnp.int32)[:, None]
+        tok_tp = jnp.argmax(lt[:, -1], -1).astype(jnp.int32)[:, None]
+        toks_ref.append(np.asarray(tok_ref)[:, 0])
+        toks_tp.append(np.asarray(tok_tp)[:, 0])
+        pos = pos + 1
+    assert np.array_equal(np.asarray(toks_ref), np.asarray(toks_tp))
+
+    # Quantized experts: kernel path inside shard_map, logits within the
+    # per-shard act-quant tolerance.
+    qparams = quantize_params(params, bits=4, group_size=None, act_bits=8,
+                              scales_dtype=jnp.float32)
+    sq = shard_params(qparams, mcfg, mesh)
+    assert supports_tp_fast_decode(sq, mcfg, mesh)
+    qcache_ref = QuantizedKVCache.create(mcfg, 2, S)
+    qcache_tp = shard_cache(QuantizedKVCache.create(mcfg, 2, S), mesh)
+    qstep_ref = jax.jit(lambda p, c, t, s: decode_step(p, c, t, s, mcfg))
+    qstep_tp = jax.jit(make_tp_decode_step(sq, mcfg, mesh))
+    lr, _ = qstep_ref(qparams, qcache_ref, jnp.asarray([[5], [9]], jnp.int32),
+                      jnp.asarray([3, 7], jnp.int32))
+    lt, _ = qstep_tp(sq, qcache_tp, jnp.asarray([[5], [9]], jnp.int32),
+                     jnp.asarray([3, 7], jnp.int32))
+    ref, got = np.asarray(lr), np.asarray(lt)
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-2, rel
