@@ -165,6 +165,9 @@ def main() -> None:
     parser.add_argument("--max-new", type=int, default=96)
     parser.add_argument("--cache-mode", choices=["dense", "paged"],
                         default="dense")
+    parser.add_argument("--prefill-chunk", type=int, default=256,
+                        help="serve mode: prompt chunk size (larger = fewer "
+                             "prefill dispatches, more compute per dispatch)")
     parser.add_argument("--prompt-min", type=int, default=48,
                         help="serve mode: shortest prompt length")
     parser.add_argument("--prompt-max", type=int, default=640,
@@ -218,7 +221,8 @@ def main() -> None:
                     {"quantized_kv": quantized_kv})
         engine = ContinuousBatchingEngine(
             params, cfg, max_slots=args.slots, max_seq_len=max_seq,
-            decode_burst=args.burst, prefill_chunk=256, **paged_kw,
+            decode_burst=args.burst, prefill_chunk=args.prefill_chunk,
+            **paged_kw,
         )
         hi = min(args.prompt_max, max_seq - args.max_new - 8)
         lengths = [rng.randint(min(args.prompt_min, hi), hi)
