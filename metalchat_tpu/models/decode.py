@@ -54,6 +54,10 @@ from metalchat_tpu.ops.decode_attention_pallas import (
     decode_attention_stacked,
     decode_attention_update_quantized_stacked,
 )
+from metalchat_tpu.ops.ffn_block_pallas import (
+    ffn_block_shapes_ok,
+    ffn_block_stacked,
+)
 from metalchat_tpu.ops.paged_attention_pallas import (
     paged_decode_attention_stacked,
     paged_decode_attention_update_stacked,
@@ -394,6 +398,44 @@ def decode_step(
             if _leaf is not None and not isinstance(_leaf, (QuantizedTensor, LoraLinear)):
                 norms3[_n] = _leaf[:, None, :]
 
+    # Merged post-attention block kernel (wo + residual + ffn-norm + w13 +
+    # act + w2 + residual in ONE pallas_call): two launches/layer fewer and
+    # every XLA epilogue between the three matvecs gone. Eligibility mirrors
+    # the single-matvec fast path, narrowed to the llama-style layer shape
+    # (no biases / post-norms / MoE / tp — tp needs a psum between wo and
+    # w13, which a single kernel cannot host).
+    #
+    # MEASURED NEUTRAL-TO-NEGATIVE on the 8B W4A8 headline and therefore
+    # OPT-IN (METALCHAT_FFN_BLOCK=1): the merged call traces at 4320 µs/step
+    # vs 4266 for the three separate kernels (bench 183.7 vs 185.3 tok/s) —
+    # per-call dispatch cost is already negligible for many-tile matvec
+    # grids, and the phase-pinned next-phase tiles fetch early without
+    # buying pipeline overlap. Kept because it is the proven scaffold for
+    # shapes where launch cost DOES dominate (benchmarks/
+    # launch_overhead_bench.py: the 16-step w2 grid alone gains 1.47× when
+    # merged) and is fully tested (tests/test_ffn_block.py).
+    import os as _os
+
+    def _ffn_leaf_ok(name):
+        leaf = layers.get(name)
+        return (isinstance(leaf, QuantizedTensor) and leaf.q.ndim == 3
+                and _kernel_ok(leaf))
+
+    use_ffn_block = (
+        use_pallas() and fuse_norms and tp_axis is None
+        and _os.environ.get("METALCHAT_FFN_BLOCK", "0") == "1"
+        and not config.use_bias and not config.use_post_norms
+        and not config.num_experts and "ffn_norm" in norms3
+        and "w13" in layers
+        and all(_ffn_leaf_ok(n) for n in ("wo", "w13", "w2"))
+        and len({layers[n].bits for n in ("wo", "w13", "w2")}) == 1
+        and getattr(layers["w13"], "fuse_tp", 1) == 1
+        and ffn_block_shapes_ok(
+            layers["wo"].q.shape[1], layers["w13"].q.shape[1] // 2,
+            layers["wo"].q.shape[2], layers["w13"].q.shape[2],
+            layers["w2"].q.shape[2])
+    )
+
     def body(l, carry):
         x, leaves = carry
 
@@ -521,6 +563,17 @@ def decode_step(
                                           config.sliding_window)
                 mask = jnp.where(is_global[l], mask, sliding)
             attn = ops.attention(q, keys, values, mask, scale=scale)
+
+        if use_ffn_block:
+            x = ffn_block_stacked(
+                attn.reshape(b * s, nh * hd), x,
+                layers["wo"].q, layers["wo"].scales, norms3["ffn_norm"],
+                layers["w13"].q, layers["w13"].scales,
+                layers["w2"].q, layers["w2"].scales, l,
+                bits=layers["wo"].bits,
+                act="gelu_tanh" if config.hidden_act == "gelu_tanh" else "silu",
+                eps=eps, offset=mu)
+            return x, new_leaves
 
         attn = biased(_linear_l(attn.reshape(b * s, nh * hd), layers["wo"], l),
                       "wo_b", l)

@@ -184,3 +184,86 @@ def test_multitoken_window_per_row_start_pos():
             np.testing.assert_allclose(
                 np.asarray(xa[:, r : r + 1]), np.asarray(xb),
                 rtol=2e-4, atol=2e-4)
+
+
+def _fused_quant_params(cfg, bits, seed=0):
+    from metalchat_tpu.models.fuse import fuse_projections
+
+    params = init_random_params(cfg, dtype=jnp.float32, seed=seed,
+                                max_seq_len=cfg.max_seq_len)
+    return fuse_projections(
+        quantize_params(params, bits=bits, group_size=None, act_bits=8,
+                        scales_dtype=jnp.float32), cfg)
+
+
+def _run_merged_vs_unmerged(cfg, bits, s=1, monkeypatch=None):
+    """The merged post-attention block kernel (ops/ffn_block_pallas.py) must
+    be BIT-identical to the unmerged wo→norm→w13→act→w2 composition in
+    interpret mode (same ops, same order)."""
+    from metalchat_tpu import ops
+    from metalchat_tpu.models import decode
+
+    monkeypatch.setenv("METALCHAT_TPU_PALLAS_INTERPRET", "1")
+    ops.use_pallas.cache_clear()
+    try:
+        params = _fused_quant_params(cfg, bits)
+        cache = QuantizedKVCache.create(cfg, 2, cfg.max_seq_len)
+        rng = np.random.default_rng(7)
+        tok = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, s)), jnp.int32)
+
+        monkeypatch.setenv("METALCHAT_FFN_BLOCK", "0")
+        la, ca = decode.decode_step(params, cache, tok, 4, cfg)
+
+        calls = []
+        orig = decode.ffn_block_stacked
+        monkeypatch.setattr(
+            decode, "ffn_block_stacked",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        monkeypatch.setenv("METALCHAT_FFN_BLOCK", "1")
+        lb, cb = decode.decode_step(params, cache, tok, 4, cfg)
+
+        assert calls, "merged ffn-block kernel did not engage"
+        # The kernel itself is BIT-exact vs the composed ops
+        # (tests/test_ffn_block.py); at decode_step level the two traced
+        # programs fuse differently in XLA, so unrelated f32 ops drift by
+        # ~1 ulp — hence tight-but-not-zero tolerances here.
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-5)
+        for xa, xb in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
+            np.testing.assert_allclose(np.asarray(xa, np.float32),
+                                       np.asarray(xb, np.float32),
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        ops.use_pallas.cache_clear()
+
+
+def test_ffn_block_merged_w8a8_exact(monkeypatch):
+    _run_merged_vs_unmerged(llama_cfg(), bits=8, monkeypatch=monkeypatch)
+
+
+def test_ffn_block_merged_w4a8_exact(monkeypatch):
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=3, num_heads=4, num_kv_heads=2, head_dim=64,
+        max_seq_len=128, tie_word_embeddings=False)
+    _run_merged_vs_unmerged(cfg, bits=4, monkeypatch=monkeypatch)
+
+
+def test_ffn_block_merged_multitoken_window(monkeypatch):
+    """s > 1 windows flatten to b·s rows through the same merged kernel."""
+    _run_merged_vs_unmerged(llama_cfg(), bits=8, s=4, monkeypatch=monkeypatch)
+
+
+def test_ffn_block_full_decode_matches_scan(monkeypatch):
+    """End-to-end: the merged-kernel fast path vs the scan reference."""
+    from metalchat_tpu import ops
+
+    monkeypatch.setenv("METALCHAT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("METALCHAT_FFN_BLOCK", "1")
+    ops.use_pallas.cache_clear()
+    try:
+        cfg = llama_cfg()
+        params = _fused_quant_params(cfg, bits=8)
+        run_both(params, cfg, QuantizedKVCache)
+    finally:
+        ops.use_pallas.cache_clear()

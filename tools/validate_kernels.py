@@ -61,6 +61,22 @@ def main() -> None:
     p4j, w8j = jnp.asarray(p4), jnp.asarray(w8)
     sj, nwj = jnp.asarray(scales), jnp.asarray(nw)
 
+    from metalchat_tpu.ops.ffn_block_pallas import ffn_block_stacked
+
+    F = 1024
+    w13_8 = jnp.asarray(
+        rng.integers(-127, 128, size=(L, 2 * F, in_f), dtype=np.int8))
+    w13_s = jnp.asarray(rng.random((L, 1, 2 * F), np.float32) * 1e-2 + 1e-3)
+    w2_8 = jnp.asarray(rng.integers(-127, 128, size=(L, out, F), dtype=np.int8))
+    w2_s = jnp.asarray(rng.random((L, 1, out), np.float32) * 1e-2 + 1e-3)
+    attn = jnp.asarray(rng.standard_normal((b, in_f)), jnp.bfloat16)
+
+    def _ffn_block(l, interp):
+        return ffn_block_stacked(
+            attn, x, w8j, sj, nwj[:, None, :], w13_8, w13_s, w2_8, w2_s,
+            jnp.asarray(l, jnp.int32), bits=8, act="silu", eps=1e-5,
+            interpret=interp)
+
     failures = []
     for l in (0, L - 1):
         li = jnp.asarray(l, jnp.int32)
@@ -82,6 +98,28 @@ def main() -> None:
         for name, exact, fn in pairs:
             if not _report(f"{name} (l={l})", fn(False), fn(True), exact):
                 failures.append(name)
+
+        # Merged ffn-block kernel: interpret-vs-chip is NOT the right gate
+        # here — three CASCADED act-quant stages amplify single one-quantum
+        # round flips (measured rel ~2e-2 at these toy shapes, vs 5e-3 for
+        # one stage above). The apples-to-apples reference is the SAME
+        # cascade composed from the already-validated separate kernels ON
+        # CHIP; the only intended difference is the merged kernel's f32
+        # gate activation (vs a bf16 mid-round), sub-ulp at bf16.
+        def _composed_chip():
+            wo_out = quant_matvec_stacked_fused(attn, w8j, sj, li, bits=8)
+            x2 = x + wo_out
+            fused = quant_matvec_stacked_fused(
+                x2, w13_8, w13_s, li, bits=8,
+                norm_stack=nwj[:, None, :], norm_eps=1e-5)
+            gate, up = fused[:, :F], fused[:, F:]
+            h = (jax.nn.silu(gate.astype(jnp.float32))
+                 * up.astype(jnp.float32)).astype(x.dtype)
+            return x2 + quant_matvec_stacked_fused(h, w2_8, w2_s, li, bits=8)
+
+        if not _report(f"merged ffn block vs composed-on-chip (l={l})",
+                       _ffn_block(l, False), _composed_chip(), False):
+            failures.append("merged ffn block")
 
     if failures:
         raise SystemExit(f"FAIL: {failures}")
