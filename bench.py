@@ -160,7 +160,7 @@ def main() -> None:
     parser.add_argument("--mode", choices=["decode", "prefill", "serve"],
                         default="decode")
     parser.add_argument("--slots", type=int, default=8)
-    parser.add_argument("--burst", type=int, default=16)
+    parser.add_argument("--burst", type=int, default=32)
     parser.add_argument("--requests", type=int, default=24)
     parser.add_argument("--max-new", type=int, default=96)
     parser.add_argument("--cache-mode", choices=["dense", "paged"],

@@ -267,6 +267,7 @@ def _cmd_serve(args) -> int:
         max_slots=args.slots, max_seq_len=max_seq,
         cache_mode="paged" if args.paged else "dense",
         quantized_kv=args.quantized_kv,
+        decode_burst=args.burst,
         forward_fn=forward_fn, cache=ext_cache,
         context_parallel_mesh=cp_mesh,
     )
@@ -445,6 +446,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="serve an OpenAI-compatible HTTP API instead of JSONL")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--slots", type=int, default=8)
+    serve.add_argument("--burst", type=int, default=32,
+                       help="decode burst: tokens per dispatched decode "
+                            "program (throughput/latency knob; 32 measured "
+                            "best at both 1B and 8B — docs/serving.md)")
     serve.add_argument("--paged", action="store_true")
     serve.add_argument("--quantized-kv", action="store_true")
     serve.add_argument("--pp", type=int, default=0, metavar="N",

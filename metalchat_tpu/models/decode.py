@@ -51,6 +51,7 @@ from metalchat_tpu.ops.a8_matvec_pallas import (
     quant_matvec_stacked_fused,
 )
 from metalchat_tpu.ops.decode_attention_pallas import (
+    decode_attention_quantized_stacked,
     decode_attention_stacked,
     decode_attention_update_quantized_stacked,
 )
@@ -372,20 +373,32 @@ def decode_step(
             return y + _slice_layer(layers[name], l)
         return y
 
-    # hd % 128 (Mosaic only): the fused update kernels' vector-like dots
+    # Mosaic head-dim gates: the FUSED update kernels' vector-like dots
     # don't lower at sub-lane head dims (tpu.reshape 8x64 -> 8x1x64
-    # "unsupported shape cast" on chip at hd=64 — e.g. llama32_1b); those
-    # models take the XLA attention branch while keeping the stacked
-    # matvec kernels. Interpret mode (CPU tests) has no Mosaic and keeps
-    # full kernel coverage at tiny head dims.
+    # "unsupported shape cast" on chip at hd=64 — e.g. llama32_1b). The
+    # PLAIN stacked attention kernels have no such dots and lower fine at
+    # hd=64 (probed BIT-EXACT vs interpret on chip at llama32_1b geometry,
+    # late r5) — those models keep kernel attention with the separate
+    # cache update instead of dropping all the way to the XLA attention
+    # branch. Interpret mode (CPU tests) has no Mosaic and keeps full
+    # kernel coverage at tiny head dims.
     from metalchat_tpu.ops import resolve_interpret
 
-    hd_ok = hd % 128 == 0 or resolve_interpret(None)
+    import os as _os_attn
+
+    interp = resolve_interpret(None)
+    hd_fused_ok = hd % 128 == 0 or interp
+    hd_plain_ok = hd % 64 == 0 or interp
+    if _os_attn.environ.get("METALCHAT_ATTN_KERNEL") == "plain":
+        hd_fused_ok = False  # force the plain branch (CPU-testable)
     if paged:
-        use_kernel_attn = s == 1 and use_pallas() and hd_ok
+        use_kernel_attn = s == 1 and use_pallas() and hd_fused_ok
+        use_plain_kernel_attn = False
     else:
-        use_kernel_attn = s == 1 and use_pallas() and hd_ok and \
-            kv_len % min(256, kv_len) == 0 and kv_len >= 128
+        kv_ok = kv_len % min(256, kv_len) == 0 and kv_len >= 128
+        use_kernel_attn = s == 1 and use_pallas() and hd_fused_ok and kv_ok
+        use_plain_kernel_attn = (s == 1 and use_pallas() and kv_ok
+                                 and not hd_fused_ok and hd_plain_ok)
 
     fuse_norms = use_pallas() and config.norm_type != "layernorm"
     # Pre-shape the norm stacks ONCE: the fused matvec wants [L, 1, in]
@@ -543,11 +556,18 @@ def decode_step(
 
         if paged or (use_kernel_attn and quantized):
             pass  # attn computed above
-        elif use_kernel_attn:
+        elif use_kernel_attn or use_plain_kernel_attn:
             block_t = min(256, kv_len)
-            attn = decode_attention_stacked(
-                q[:, 0], *new_leaves, l, lengths, scale=scale,
-                window=window, block_t=block_t)
+            if quantized:
+                # hd=64 models: fused update doesn't lower (gate above);
+                # plain kernel attention over the separately-updated cache.
+                attn = decode_attention_quantized_stacked(
+                    q[:, 0], *new_leaves, l, lengths, scale=scale,
+                    window=window, block_t=block_t)
+            else:
+                attn = decode_attention_stacked(
+                    q[:, 0], *new_leaves, l, lengths, scale=scale,
+                    window=window, block_t=block_t)
         else:
             if quantized:
                 ck, cv, sk, sv = new_leaves

@@ -267,3 +267,30 @@ def test_ffn_block_full_decode_matches_scan(monkeypatch):
         run_both(params, cfg, QuantizedKVCache)
     finally:
         ops.use_pallas.cache_clear()
+
+
+def test_plain_attn_kernel_branch_matches_scan(monkeypatch):
+    """METALCHAT_ATTN_KERNEL=plain forces the separate-update + plain
+    stacked attention kernel branch (the on-chip path for hd=64 models,
+    e.g. llama32_1b, where the fused update kernel cannot lower) — it
+    must match the scan reference like every other fast-path branch."""
+    from metalchat_tpu import ops
+    from metalchat_tpu.models import decode
+
+    monkeypatch.setenv("METALCHAT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("METALCHAT_ATTN_KERNEL", "plain")
+    ops.use_pallas.cache_clear()
+    try:
+        calls = []
+        orig = decode.decode_attention_quantized_stacked
+        monkeypatch.setattr(
+            decode, "decode_attention_quantized_stacked",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        cfg = llama_cfg()
+        params = quantize_params(
+            init_random_params(cfg, dtype=jnp.float32), bits=8,
+            group_size=None, act_bits=8, scales_dtype=jnp.float32)
+        run_both(params, cfg, QuantizedKVCache)
+        assert calls, "plain attention kernel branch did not engage"
+    finally:
+        ops.use_pallas.cache_clear()

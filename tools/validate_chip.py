@@ -34,23 +34,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
+def _validate(cfg, bits: int) -> None:
     from metalchat_tpu.cache import KVCache, QuantizedKVCache
-    from metalchat_tpu.config import LlamaConfig
     from metalchat_tpu.models.transformer import forward
     from metalchat_tpu.quant.quantize import (
         QuantizedTensor,
         dequantize,
         init_random_quantized_params,
     )
-
-    # Small but kernel-eligible dims (lane/block aligned like the 8B).
-    cfg = LlamaConfig(
-        vocab_size=1024, hidden_size=512, intermediate_size=1024,
-        num_layers=4, num_heads=8, num_kv_heads=2, head_dim=128,
-        max_seq_len=512, tie_word_embeddings=False,
-    )
-    params = init_random_quantized_params(cfg, bits=4, group_size=None,
+    params = init_random_quantized_params(cfg, bits=bits, group_size=None,
                                           act_bits=8, max_seq_len=512)
     dense_params = jax.tree.map(
         lambda x: dequantize(x) if isinstance(x, QuantizedTensor) else x,
@@ -93,7 +85,85 @@ def main() -> None:
     assert rel_fr < 3e-2, f"fast path beyond int8-activation noise: {rel_fr}"
     assert err_fast <= 1.3 * err_ref + 1e-3, (
         f"Pallas path amplifies quantization error: {err_fast} vs {err_ref}")
-    print("chip validation OK")
+    print(f"chip validation OK (hd={cfg.head_dim}, bits={bits})")
+
+
+def main() -> None:
+    from metalchat_tpu.config import LlamaConfig
+
+    # Small but kernel-eligible dims (lane/block aligned like the 8B):
+    # the fused attention+update kernel path (hd=128).
+    _validate(LlamaConfig(
+        vocab_size=1024, hidden_size=512, intermediate_size=1024,
+        num_layers=4, num_heads=8, num_kv_heads=2, head_dim=128,
+        max_seq_len=512, tie_word_embeddings=False,
+    ), bits=4)
+    # llama32_1b-style sub-lane head dim: the PLAIN stacked attention
+    # kernel + separate cache update path (late-r5 hd=64 gate split),
+    # validated on the TRAINED 10M fixture rather than random weights —
+    # with random params one-quantum act-quant flips amplify chaotically
+    # through the layer stack (measured 0.33 rel in a SINGLE matched-state
+    # step, while every kernel row is ≤1e-2 and the trained-weight quality
+    # gate holds w8a8 at +0.059% ppl on chip), so random-weight logit
+    # comparisons gate nothing at this scale. Trained weights are well-
+    # conditioned; fast-vs-ref must stay within single-quantum noise.
+    _validate_fixture_hd64()
+
+
+def _validate_fixture_hd64() -> None:
+    import functools
+
+    from metalchat_tpu.cache import QuantizedKVCache
+    from metalchat_tpu.config import load_config
+    from metalchat_tpu.io.loaders import load_params
+    from metalchat_tpu.io.safetensors import open_safetensors
+    from metalchat_tpu.models import decode as _dec
+    from metalchat_tpu.models.transformer import forward
+    from metalchat_tpu.quant.quantize import quantize_params
+
+    fixture = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "fixtures", "pyllama_10m")
+    cfg = load_config(os.path.join(fixture, "config.json"))
+    assert cfg.head_dim == 64, cfg.head_dim
+    doc = open_safetensors(os.path.join(fixture, "model.safetensors"))
+    params = quantize_params(
+        load_params(doc, cfg, dtype=jnp.bfloat16, max_seq_len=1024),
+        bits=8, group_size=None, act_bits=8)
+    ev = np.load(os.path.join(fixture, "eval_tokens.npy")).astype(np.int32)
+    stream = jnp.asarray(ev[:48])
+
+    def run(fast, attn_interp=False):
+        orig = _dec.decode_attention_quantized_stacked
+        if attn_interp:
+            _dec.decode_attention_quantized_stacked = functools.partial(
+                orig, interpret=True)
+        try:
+            cache = QuantizedKVCache.create(cfg, 1, 1024)
+            step = jax.jit(lambda p, c, t, s: forward(p, c, t, s, cfg,
+                                                      fast_decode=fast))
+            logits, cache = step(params, cache, stream[None, :16], 0)
+            rows = [np.asarray(logits[0, -1], np.float32)]
+            for pos in range(16, len(stream)):
+                logits, cache = step(params, cache,
+                                     stream[None, pos : pos + 1], pos)
+                rows.append(np.asarray(logits[0, -1], np.float32))
+            return np.stack(rows)
+        finally:
+            _dec.decode_attention_quantized_stacked = orig
+
+    fast = run(True)
+    ref = run(False)
+    fast_ia = run(True, attn_interp=True)
+    assert np.array_equal(fast, fast_ia), (
+        "plain attention kernel lowering differs from its interpret "
+        "reference inside the model program")
+    print("plain attn kernel ≡ interpret reference (bit-exact)")
+    rel = np.max(np.abs(fast - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    agree = float(np.mean(np.argmax(fast, -1) == np.argmax(ref, -1)))
+    print(f"trained-fixture fast-vs-ref rel = {rel:.2e}, greedy agreement "
+          f"{agree:.0%}")
+    assert rel < 3e-2, f"trained-weight divergence beyond quantum noise: {rel}"
+    print("chip validation OK (hd=64 plain-attention path, trained fixture)")
 
 
 if __name__ == "__main__":

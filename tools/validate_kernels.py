@@ -94,6 +94,13 @@ def main() -> None:
              lambda interp: quant_matvec_stacked_fused(
                  x, p4j, sj, li, bits=4, norm_stack=nwj[:, None, :], norm_eps=1e-5,
                  interpret=interp)),
+            ("int8 fused act-quant", False,
+             lambda interp: quant_matvec_stacked_fused(
+                 x, w8j, sj, li, bits=8, interpret=interp)),
+            ("int8 fused norm+act-quant", False,
+             lambda interp: quant_matvec_stacked_fused(
+                 x, w8j, sj, li, bits=8, norm_stack=nwj[:, None, :], norm_eps=1e-5,
+                 interpret=interp)),
         ]
         for name, exact, fn in pairs:
             if not _report(f"{name} (l={l})", fn(False), fn(True), exact):
