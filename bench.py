@@ -88,9 +88,17 @@ def build(config_name: str):
                                               act_bits=8, max_seq_len=1024)
         quantized_kv = True
     elif config_name == "1b-int8":
+        # Legacy group-wise int8 (exact dequant dot) — kept as the slow-
+        # formulation comparison row, like 8b-int4. The fast 1B scheme is
+        # 1b-w8a8 below; requantize_per_channel converts group checkpoints.
         cfg = LlamaConfig.llama32_1b(max_seq_len=1024)
         params = init_random_quantized_params(cfg, bits=8, group_size=32,
                                               max_seq_len=1024)
+        quantized_kv = True
+    elif config_name == "1b-w8a8":
+        cfg = LlamaConfig.llama32_1b(max_seq_len=1024)
+        params = init_random_quantized_params(cfg, bits=8, group_size=None,
+                                              act_bits=8, max_seq_len=1024)
         quantized_kv = True
     elif config_name in ("gemma3-4b-int8", "gemma3-1b-int8"):
         from metalchat_tpu.config import Gemma3Config
@@ -406,8 +414,19 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "QUALITY.json")) as fh:
             quality = json.load(fh)
-        result["ppl_delta_pct"] = quality.get("headline_ppl_delta_pct")
-        result["ppl_scheme"] = quality.get("headline_scheme")
+        # Attach the quality-gate row matching THIS config's scheme
+        # (QUALITY.md measures every scheme on the trained fixture); the
+        # w4a8 headline configs use the full GPTQ-refit + int8-KV row.
+        scheme_by_config = {
+            "8b-w4a8": "headline_int8kv",   # GPTQ-refit w4a8 + int8 KV
+            "8b-w8a8": "w8a8", "1b-w8a8": "w8a8",
+            "gemma3-1b-int8": "w8a8", "gemma3-4b-int8": "w8a8",
+            "8b-int4": "int4_g32", "1b-int8": "int8_g32",
+        }
+        scheme = scheme_by_config.get(args.config, "headline_int8kv")
+        result["ppl_delta_pct"] = quality.get("ppl_delta_pct", {}).get(
+            scheme, quality.get("headline_ppl_delta_pct"))
+        result["ppl_scheme"] = scheme
     except (OSError, ValueError):
         pass
 

@@ -113,7 +113,7 @@ def main() -> None:
     from bench import build
 
     tcfg, tparams, _ = build("8b-w4a8")
-    dcfg, dparams, _ = build("1b-int8")
+    dcfg, dparams, _ = build("1b-w8a8")
 
     t_target = _marginal_ms(lambda r: _decode_steps_fn(tparams, tcfg, True)(tparams, r))
     print(f"t_target (8B W4A8 decode step): {t_target:.2f} ms", flush=True)
